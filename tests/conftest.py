@@ -1,0 +1,17 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(xla_force_host_platform_device_count=8); real-TPU paths are exercised by
+bench.py / __graft_entry__.py outside the test suite.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session presets axon/TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+# offline: never let transformers/HF touch the network in tests
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
