@@ -1,0 +1,136 @@
+"""Bidirectional GRU with torch-compatible gate math, as lax.scan kernels.
+
+The reference uses torch.nn.GRU in two modes:
+  * visual branch (model.py:131,162): *unpacked* over the zero-padded frame
+    axis -- the backward direction runs from the batch-max frame backwards,
+    crossing each sample's padding.
+  * text bi-gru branch (model.py:265-268): *packed* -- the backward
+    direction starts at each sample's own last valid token.
+
+Both are reproduced: `packed=False` scans the raw padded sequence in both
+directions; `packed=True` emulates pack_padded_sequence by reversing each
+sample within its valid length before the backward scan and zeroing outputs
+beyond the valid length (what pad_packed_sequence emits).
+
+Gate convention (torch): r = sig(Wir x + bir + Whr h + bhr),
+z = sig(Wiz x + biz + Whz h + bhz), n = tanh(Win x + bin + r*(Whn h + bhn)),
+h' = (1-z)*n + z*h. Parameters are stored in torch layout
+(w_ih: (3H, D), w_hh: (3H, H), b_ih, b_hh: (3H,)) so torch state dicts load
+verbatim.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _torch_gru_uniform(hidden: int):
+    bound = 1.0 / jnp.sqrt(hidden)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _gru_scan(x_seq, h0, w_ih, w_hh, b_ih, b_hh):
+    """Scan a GRU over (T, B, D) -> outputs (T, B, H).
+
+    The input projection for all steps is one big batched matmul (MXU
+    friendly); only the H x H recurrent product lives inside the scan.
+    """
+    hidden = h0.shape[-1]
+    # (T, B, 3H): precompute input contributions outside the scan
+    xw = jnp.einsum("tbd,gd->tbg", x_seq, w_ih) + b_ih
+
+    w_hr, w_hz, w_hn = jnp.split(w_hh, 3, axis=0)
+    b_hr, b_hz, b_hn = jnp.split(b_hh, 3)
+
+    def step(h, xw_t):
+        xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + h @ w_hr.T + b_hr)
+        z = jax.nn.sigmoid(xz + h @ w_hz.T + b_hz)
+        n = jnp.tanh(xn + r * (h @ w_hn.T + b_hn))
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, out = jax.lax.scan(step, h0, xw)
+    return out
+
+
+def _reverse_by_length(x, lengths):
+    """Reverse each (T, D) sequence within its valid length.
+
+    lengths may be (B,) per-sample lengths or a 0-d batch-max scalar.
+    Positions beyond the length map to themselves (masked out downstream).
+    """
+    t = x.shape[1]
+    pos = jnp.arange(t)[None, :]
+    lengths = jnp.asarray(lengths)
+    if lengths.ndim == 0:
+        lengths = jnp.full((x.shape[0],), lengths)
+    idx = jnp.where(pos < lengths[:, None], lengths[:, None] - 1 - pos, pos)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional single-layer GRU. Input (B, T, D) -> (B, T, 2H)."""
+
+    hidden: int
+    packed: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths=None, batch_len=None):
+        """x: (B, T, D). lengths: (B,) valid lengths (packed mode).
+
+        batch_len: dynamic scalar batch-max length (unpacked mode) -- the
+        backward scan starts there, exactly where torch's does on a batch
+        padded only to its own max. Defaults to the static T.
+        """
+        b, t, d = x.shape
+        init = _torch_gru_uniform(self.hidden)
+        params = {}
+        for direction in ("fwd", "bwd"):
+            params[direction] = dict(
+                w_ih=self.param("w_ih_%s" % direction, init, (3 * self.hidden, d)),
+                w_hh=self.param("w_hh_%s" % direction, init, (3 * self.hidden, self.hidden)),
+                b_ih=self.param("b_ih_%s" % direction, init, (3 * self.hidden,)),
+                b_hh=self.param("b_hh_%s" % direction, init, (3 * self.hidden,)),
+            )
+        h0 = jnp.zeros((b, self.hidden), self.dtype)
+        xt = jnp.swapaxes(x, 0, 1)  # (T, B, D)
+
+        out_f = _gru_scan(xt, h0, **params["fwd"])           # (T, B, H)
+        out_f = jnp.swapaxes(out_f, 0, 1)
+
+        if self.packed:
+            if lengths is None:
+                raise ValueError("packed BiGRU requires lengths")
+            xr = _reverse_by_length(x, lengths)
+            out_b = _gru_scan(jnp.swapaxes(xr, 0, 1), h0, **params["bwd"])
+            out_b = _reverse_by_length(jnp.swapaxes(out_b, 0, 1), lengths)
+            out = jnp.concatenate([out_f, out_b], axis=-1)
+            # pad_packed_sequence pads with zeros beyond each length
+            mask = (jnp.arange(t)[None, :] < lengths[:, None])[..., None]
+            return jnp.where(mask, out, 0.0)
+        else:
+            bl = jnp.asarray(t if batch_len is None else batch_len)
+            xr = _reverse_by_length(x, bl)
+            out_b = _gru_scan(jnp.swapaxes(xr, 0, 1), h0, **params["bwd"])
+            out_b = _reverse_by_length(jnp.swapaxes(out_b, 0, 1), bl)
+            return jnp.concatenate([out_f, out_b], axis=-1)
+
+    @staticmethod
+    def params_from_torch(sd: dict, prefix: str = "") -> dict:
+        """Map a torch nn.GRU(bidirectional=True) state dict to our params."""
+        import numpy as np
+        g = lambda k: np.asarray(sd[prefix + k])
+        return {
+            "w_ih_fwd": g("weight_ih_l0"), "w_hh_fwd": g("weight_hh_l0"),
+            "b_ih_fwd": g("bias_ih_l0"), "b_hh_fwd": g("bias_hh_l0"),
+            "w_ih_bwd": g("weight_ih_l0_reverse"), "w_hh_bwd": g("weight_hh_l0_reverse"),
+            "b_ih_bwd": g("bias_ih_l0_reverse"), "b_hh_bwd": g("bias_hh_l0_reverse"),
+        }

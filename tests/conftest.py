@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 # offline: never let transformers/HF touch the network in tests
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; only the config
+# knob actually forces CPU. Must happen before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
