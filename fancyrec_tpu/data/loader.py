@@ -1,0 +1,85 @@
+"""Batch iteration + host->device prefetch.
+
+Replaces torch DataLoader worker processes with a single-process pipeline:
+the dataset's vectorized mmap gathers are cheap enough to run inline, and a
+background thread keeps `size` batches resident on device ahead of the
+consumer (double buffering host->HBM), so the TPU never waits on host IO.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from fancyrec_tpu.data.dataset import PostDataset
+
+
+class BatchLoader:
+    """Deterministic epoch iterator over a PostDataset.
+
+    final_batch: 'drop' (train default: contrastive losses want full
+    batches), or 'pad' (eval: repeat-pad to full size; padding rows are
+    marked by n_valid and skipped at scatter time).
+    """
+
+    def __init__(self, dataset: PostDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 2,
+                 final_batch: str = "drop"):
+        assert final_batch in ("drop", "pad")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.final_batch = final_batch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.final_batch == "drop":
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.final_batch == "drop" else n
+        for start in range(0, stop, bs):
+            idx = order[start: start + bs]
+            yield self.dataset.gather_batch(idx, pad_to=bs)
+
+
+def prefetch_to_device(iterator, size: int = 2,
+                       device_put: Optional[Callable] = None):
+    """Run `iterator` in a background thread, staging batches on device.
+
+    Keeps up to `size` batches in flight; jax.device_put is asynchronous, so
+    the host thread races ahead building + transferring the next batch while
+    the device computes on the current one.
+    """
+    put = device_put or jax.device_put
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,156 @@
+import os
+
+import numpy as np
+import pytest
+
+from fancyrec_tpu.data.dataset import PostDataset, load_info
+from fancyrec_tpu.data.loader import BatchLoader, prefetch_to_device
+from fancyrec_tpu.data.tokenizer import WordPieceTokenizer, write_minimal_bert_vocab
+from fancyrec_tpu.io.bigfile import ImageBigFile
+from fancyrec_tpu.io.dictfile import read_dict
+from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
+from fancyrec_tpu.utils.fixture import make_fixture
+
+
+# ---------------------------------------------------------------------------
+# tokenizer vs HF BertTokenizer (offline, local vocab)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wp_vocab(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tok") / "vocab.txt")
+    words = ["the", "car", "drive", "##s", "##ing", "fast", "un", "##able",
+             "road", "!", ",", "a", "red"]
+    write_minimal_bert_vocab(path, words)
+    return path
+
+
+def test_wordpiece_matches_hf(wp_vocab):
+    from transformers import BertTokenizer
+    hf = BertTokenizer(wp_vocab, do_lower_case=True)
+    ours = WordPieceTokenizer(wp_vocab)
+    cases = [
+        "The car drives fast",
+        "a red car, driving!",
+        "unable roads",
+        "Unknownword here",
+        "café driving",          # accent stripping
+        "",
+    ]
+    for text in cases:
+        want = hf.encode(text)
+        got = ours.encode(text)
+        assert got == want, (text, got, want)
+
+
+def test_wordpiece_batch_padding(wp_vocab):
+    ours = WordPieceTokenizer(wp_vocab)
+    enc = ours.batch_encode(["the car", "a"], pad_to=10)
+    assert enc["input_ids"].shape == (2, 10)
+    assert enc["attention_mask"][0].sum() == 4  # [CLS] the car [SEP]
+    assert enc["attention_mask"][1].sum() == 3
+    assert enc["input_ids"][0, 4:].sum() == 0   # [PAD]=0
+
+
+def test_wordpiece_truncation(wp_vocab):
+    ours = WordPieceTokenizer(wp_vocab)
+    ids = ours.encode("car " * 50, max_length=10)
+    assert len(ids) == 10
+    assert ids[0] == ours.cls_id and ids[-1] == ours.sep_id
+
+
+# ---------------------------------------------------------------------------
+# dataset + loader over the synthetic fixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("inscar"))
+    info = make_fixture(root, brand_num=3, videos_per_brand=2,
+                        imgs_per_brand=2, feat_dim=16, frames_per_video=4)
+    return info
+
+
+def _build_dataset(info, coll="insCartrain", **kw):
+    root = info["root"]
+    video_feat = ImageBigFile(os.path.join(root, coll, "FeatureData",
+                                           info["video_feature"]))
+    img_feat = ImageBigFile(os.path.join(root, coll, "FeatureData",
+                                         info["img_feature"]))
+    video2frames = read_dict(os.path.join(root, coll, "FeatureData",
+                                          info["video_feature"],
+                                          "video2frames.txt"))
+    img_info, cls_info = load_info(root)
+    bow_vocab = load_vocab(os.path.join(root, "insCartrain", "TextData",
+                                        "vocabulary", "bow", "word_vocab_5.pkl"))
+    rnn_vocab = load_vocab(os.path.join(root, "insCartrain", "TextData",
+                                        "vocabulary", "rnn", "word_vocab_5.pkl"))
+    tok = WordPieceTokenizer(info["bert_vocab"])
+    cap_file = os.path.join(root, coll, "TextData", "%s.caption.txt" % coll)
+    return PostDataset(cap_file, video_feat, img_feat, Bow2Vec(bow_vocab),
+                       rnn_vocab=rnn_vocab, tokenizer=tok,
+                       video2frames=video2frames, img_info=img_info,
+                       cls_info=cls_info, max_frames=8, max_tokens=24,
+                       max_words=16, **kw)
+
+
+def test_dataset_resolves_brands_and_features(fixture_root):
+    ds = _build_dataset(fixture_root)
+    assert len(ds) == 3 * 2 + 3 * 2  # videos + images
+    # brand ids span the 3 brands
+    assert set(ds.brand_ids.tolist()) == {0, 1, 2}
+
+    batch = ds.gather_batch(list(range(len(ds))))
+    assert batch["frames"].shape == (12, 8, 16)
+    assert batch["tokens"].shape == (12, 24)
+    # video items have 4 frames, image items 1
+    counts = sorted(set(batch["vmask"].sum(axis=1).tolist()))
+    assert counts == [1.0, 4.0]
+    # mean_origin equals mean of valid frames (all fit under the cap here)
+    for bi in range(12):
+        k = int(batch["vmask"][bi].sum())
+        np.testing.assert_allclose(batch["origin"][bi],
+                                   batch["frames"][bi, :k].mean(0), rtol=1e-5)
+    # batch is sorted by caption length descending
+    lens = [ds._caption_sort_key(i) for i in batch["idxs"]]
+    assert lens == sorted(lens, reverse=True)
+    # bows non-empty for every item (captions are vocab words)
+    assert (batch["bows"].sum(axis=1) > 0).all()
+
+
+def test_dataset_rnn_tokens(fixture_root):
+    ds = _build_dataset(fixture_root)
+    ds.text_net = "bi-gru"
+    batch = ds.gather_batch([0, 1, 2])
+    v = ds.rnn_vocab
+    for bi in range(3):
+        n = int(batch["tmask"][bi].sum())
+        assert batch["tokens"][bi, 0] == v("<start>")
+        assert batch["tokens"][bi, n - 1] == v("<end>")
+
+
+def test_loader_epochs_and_padding(fixture_root):
+    ds = _build_dataset(fixture_root)
+    train = BatchLoader(ds, batch_size=5, shuffle=True, final_batch="drop")
+    batches = list(train)
+    assert len(batches) == len(ds) // 5
+    order1 = [b["idxs"].tolist() for b in batches]
+    order2 = [b["idxs"].tolist() for b in list(train)]
+    assert order1 != order2  # reshuffled across epochs
+
+    ev = BatchLoader(ds, batch_size=5, shuffle=False, final_batch="pad")
+    batches = list(ev)
+    assert len(batches) == (len(ds) + 4) // 5
+    assert batches[-1]["frames"].shape[0] == 5      # padded to full size
+    assert batches[-1]["n_valid"] == len(ds) % 5 or batches[-1]["n_valid"] == 5
+    # all real indices appear exactly once across the epoch
+    seen = [i for b in batches for i in b["idxs"][:].tolist()]
+    assert set(range(len(ds))) <= set(seen)
+
+
+def test_prefetch_to_device(fixture_root):
+    ds = _build_dataset(fixture_root)
+    loader = BatchLoader(ds, batch_size=4, final_batch="drop")
+    out = list(prefetch_to_device(iter(loader), size=2))
+    assert len(out) == len(loader)
+    assert hasattr(out[0]["frames"], "devices")  # on-device arrays
