@@ -1,0 +1,120 @@
+"""Evaluation CLI (`fancyrec-test`), reference-workflow compatible.
+
+Mirrors reference tester.py: loads a checkpoint (whose embedded config is
+the source of truth for all train-time options, tester.py:63-65), rebuilds
+the test loader from it, encodes the split, and prints the ranking metrics.
+Accepts both our checkpoints and reference torch checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+from fancyrec_tpu.config import Config
+from fancyrec_tpu.data.dataset import PostDataset, load_info
+from fancyrec_tpu.data.loader import BatchLoader
+from fancyrec_tpu.data.tokenizer import WordPieceTokenizer
+from fancyrec_tpu.eval.evaluator import encode_data, test_post_ranking
+from fancyrec_tpu.io.bigfile import ImageBigFile
+from fancyrec_tpu.io.dictfile import read_dict
+from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
+from fancyrec_tpu.models import FancyRec
+from fancyrec_tpu.train import checkpoints
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    d = Config()
+    p.add_argument("testCollection", type=str)
+    p.add_argument("--rootpath", type=str, default=d.rootpath)
+    p.add_argument("--overwrite", type=int, default=0, choices=[0, 1])
+    p.add_argument("--log_step", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--workers", type=int, default=0)
+    p.add_argument("--logger_name", default="runs")
+    p.add_argument("--checkpoint_name", default="model_best.pth.tar", type=str)
+    p.add_argument("--n_caption", type=int, default=20)
+    p.add_argument("--level_vis", type=str, default="1+2+3")
+    p.add_argument("--level_txt", type=str, default="1+2+3")
+    p.add_argument("--bert_vocab", type=str, default="")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    print(json.dumps(vars(opt), indent=2))
+
+    resume = os.path.join(opt.logger_name, opt.checkpoint_name)
+    if not os.path.exists(resume):
+        logging.info(resume + " not exists.")
+        sys.exit(0)
+
+    ckpt = checkpoints.load_any(resume)
+    print("=> loaded!")
+    cfg: Config = ckpt["config"]
+    cfg.rootpath = opt.rootpath
+    testCollection = opt.testCollection
+
+    root = opt.rootpath
+    video_feat = ImageBigFile(os.path.join(root, testCollection, "FeatureData",
+                                           cfg.video_feature))
+    img_feat = ImageBigFile(os.path.join(root, testCollection, "FeatureData",
+                                         cfg.img_feature))
+    assert cfg.visual_feat_dim == video_feat.ndims
+    video2frames = read_dict(os.path.join(
+        root, testCollection, "FeatureData", cfg.video_feature,
+        "video2frames.txt"))
+
+    bow_vocab = load_vocab(os.path.join(
+        root, cfg.trainCollection, "TextData", "vocabulary", "bow",
+        cfg.vocab + ".pkl"))
+    rnn_vocab = load_vocab(os.path.join(
+        root, cfg.trainCollection, "TextData", "vocabulary", "rnn",
+        cfg.vocab + ".pkl"))
+    cfg.bow_vocab_size = len(bow_vocab)
+    cfg.vocab_size = len(rnn_vocab)
+    cfg.finalize()
+
+    tokenizer = None
+    if cfg.text_net == "transformers":
+        vocab_path = (opt.bert_vocab or cfg.bert_vocab
+                      or os.path.join(root, "bert_vocab.txt"))
+        tokenizer = WordPieceTokenizer(vocab_path)
+
+    img_info, cls_info = load_info(root)
+    cap_file = os.path.join(root, testCollection, "TextData",
+                            "%s.caption.txt" % testCollection)
+    print("=> prepare dataloader..")
+    dataset = PostDataset(
+        cap_file, video_feat, img_feat, Bow2Vec(bow_vocab),
+        text_net=cfg.text_net, rnn_vocab=rnn_vocab, tokenizer=tokenizer,
+        video2frames=video2frames, img_info=img_info, cls_info=cls_info,
+        max_frames=cfg.max_frames, max_tokens=cfg.max_tokens,
+        max_words=cfg.max_words)
+    loader = BatchLoader(dataset, opt.batch_size, final_batch="pad")
+
+    model = FancyRec(cfg)
+    params = ckpt["model"]["params"]
+    batch_stats = ckpt["model"].get("batch_stats", {})
+
+    brands, post_embs = encode_data(model, params, batch_stats, loader,
+                                    cfg.common_embedding_size)
+    m = test_post_ranking(model, params, cfg.brand_num, post_embs, brands)
+
+    print("AUC[0-1]:", m.auc)
+    print("NDCG@10[0-1]:", m.ndcg10)
+    print("NDCG@50[0-1]:", m.ndcg50)
+    print("recall@1:", m.r1)
+    print("recall@5:", m.r5)
+    print("recall@10:", m.r10)
+    print("MedR:", m.medr)
+    print("MeanR:", m.meanr)
+    return m
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Device mesh + sharding rules.
+
+The scale-out design (absent from the single-GPU reference; see SURVEY.md
+section 2.8) is GSPMD: a ('data', 'model') mesh, batch axes sharded over
+'data', the wide parameter tables sharded over 'model', and XLA inserting
+the collectives. One code path runs on 1 chip, an 8-device CPU test mesh,
+or a v5e pod -- only the mesh shape changes.
+
+Sharded parameters (everything else is replicated):
+  * BrandAspects.aspects_embeddings (num_aspects x common_dim) -- row-sharded
+  * BrandAspects.brand_embeddings (brand_num+1 x num_aspects) -- col-sharded
+    (contracting dims line up so the aspect mixture is a local matmul
+    followed by a psum XLA derives itself)
+  * the MFC mapping kernels (mapping_in can be ~9k wide) -- input-sharded
+  * BERT FFN kernels -- megatron-style (intermediate sharded)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(mesh_shape: str = "", devices=None) -> Mesh:
+    """mesh_shape "4,2" -> Mesh(data=4, model=2). "" -> all devices on data."""
+    devices = devices if devices is not None else jax.devices()
+    if mesh_shape:
+        dims = tuple(int(x) for x in mesh_shape.split(","))
+        if len(dims) == 1:
+            dims = (dims[0], 1)
+    else:
+        dims = (len(devices), 1)
+    n = dims[0] * dims[1]
+    if n != len(devices):
+        raise ValueError("mesh %s needs %d devices, have %d"
+                         % (dims, n, len(devices)))
+    arr = np.asarray(devices[:n]).reshape(dims)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# parameter-path -> PartitionSpec rules (regex on '/'-joined path)
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"brand_encoding/aspects_embeddings$", P("model", None)),
+    (r"brand_encoding/brand_embeddings$", P(None, "model")),
+    (r"(visual|text)_mapping/fc1/kernel$", P("model", None)),
+    (r"bert/layer_\d+/intermediate/kernel$", P(None, "model")),
+    (r"bert/layer_\d+/intermediate/bias$", P("model")),
+    (r"bert/layer_\d+/output/kernel$", P("model", None)),
+)
+
+
+def _rule_for(mesh: Mesh, path, leaf) -> NamedSharding:
+    name = "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+    if hasattr(leaf, "shape"):
+        for pat, spec in _PARAM_RULES:
+            if re.search(pat, name):
+                sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+                if len(spec) <= len(leaf.shape) and all(
+                        ax is None or leaf.shape[dim] % sizes[ax] == 0
+                        for dim, ax in enumerate(spec)):
+                    return NamedSharding(mesh, spec)
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(mesh: Mesh, params):
+    """Tree of NamedShardings for a FancyRec param tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: _rule_for(mesh, p, l), params)
+
+
+def state_shardings(mesh: Mesh, state):
+    """Shardings for a whole TrainState.
+
+    The param rules key on path suffixes, so they apply equally to params
+    and to the optimizer moments (Adam mu/nu mirror the param tree paths);
+    everything else (queue, counters, rng) is replicated.
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: _rule_for(mesh, p, l), state)
+
+
+def shard_state(mesh: Mesh, state):
+    """device_put a TrainState with its shardings; jit then propagates them."""
+    return jax.device_put(state, state_shardings(mesh, state))
+
+
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """device_put a batch dict sharding the batch dim over 'data'."""
+
+    def put(x):
+        x = np.asarray(x) if not hasattr(x, "ndim") else x
+        if x.ndim > batch_axis and x.shape[batch_axis] % mesh.devices.shape[0] == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim, batch_axis))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)

@@ -1,0 +1,117 @@
+"""Checkpoint save/load.
+
+Artifact-level parity with the reference (trainer.py:294-301,417-422):
+files named checkpoint_epoch_<e>.pth.tar + model_best.pth.tar, each holding
+{epoch, model state, best_rsum, config, Eiters}; the tester reconstructs
+the full train-time config from the checkpoint alone (tester.py:63-65).
+Contents are msgpack (flax.serialization) + JSON config -- device-agnostic
+by construction (the reference's CUDA-only pickles cannot restore on CPU;
+ours restore anywhere).
+
+load_any() also ingests *reference torch checkpoints* directly: the
+list-form state dict is converted via fancyrec_tpu.models.torch_import, so
+GPU-trained reference models evaluate on TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from fancyrec_tpu.config import Config
+
+_MAGIC = b"FRTPU1\n"
+
+
+def save_checkpoint(path: str, cfg: Config, params, batch_stats,
+                    epoch: int, best_rsum: float, eiters: int) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "model": serialization.to_bytes(
+            {"params": jax.device_get(params),
+             "batch_stats": jax.device_get(batch_stats)}),
+        "config": cfg.to_json().encode(),
+        "meta": json.dumps({"epoch": epoch, "best_rsum": best_rsum,
+                            "Eiters": eiters}).encode(),
+    }
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        for key in ("config", "meta", "model"):
+            blob = payload[key]
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+
+
+def load_checkpoint(path: str, template=None) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError("not a fancyrec-tpu checkpoint: %s" % path)
+        blobs = []
+        for _ in range(3):
+            (n,) = struct.unpack("<Q", f.read(8))
+            blobs.append(f.read(n))
+    cfg = Config.from_json(blobs[0].decode())
+    meta = json.loads(blobs[1].decode())
+    if template is not None:
+        model_state = serialization.from_bytes(template, blobs[2])
+    else:
+        model_state = serialization.msgpack_restore(blobs[2])
+    return {"config": cfg, "model": model_state, **meta}
+
+
+def maybe_save_best(state_dir: str, cfg: Config, params, batch_stats,
+                    epoch: int, score: float, best_rsum: float,
+                    eiters: int, best_epoch: Optional[int]) -> float:
+    """Reference checkpoint policy (trainer.py:417-422): save the epoch file
+    when score > best*0.99 (or no best yet), copy to model_best on
+    improvement, return the new best."""
+    filename = os.path.join(state_dir, "checkpoint_epoch_%s.pth.tar" % epoch)
+    if best_epoch is None or score > best_rsum * 0.99:
+        save_checkpoint(filename, cfg, params, batch_stats, epoch + 1,
+                        score, eiters)
+    if score > best_rsum:
+        shutil.copyfile(filename, os.path.join(state_dir, "model_best.pth.tar"))
+    return max(score, best_rsum)
+
+
+def load_any(path: str, cfg_hint: Optional[Config] = None) -> Dict[str, Any]:
+    """Load ours or a reference torch checkpoint (auto-detected)."""
+    with open(path, "rb") as f:
+        head = f.read(len(_MAGIC))
+    if head == _MAGIC:
+        return load_checkpoint(path)
+
+    # torch checkpoint: {'epoch','model' (list form),'best_rsum','opt','Eiters'}
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    opt = ckpt.get("opt")
+    if cfg_hint is not None:
+        cfg = cfg_hint
+    else:
+        known = {f.name for f in __import__("dataclasses").fields(Config)}
+        raw = {k: v for k, v in vars(opt).items() if k in known}
+        # reference mutates these into lists during setup; undo for Config
+        for k in ("text_mapping_size", "visual_mapping_size"):
+            if isinstance(raw.get(k), (list, tuple)):
+                raw[k] = raw[k][1]
+        raw.pop("optimizer", None)  # reference stores the optimizer object here
+        cfg = Config(**{k: v for k, v in raw.items()
+                        if not k.startswith("_")}).finalize()
+    from fancyrec_tpu.models.torch_import import fancyrec_variables_from_reference
+    variables = fancyrec_variables_from_reference(ckpt["model"], cfg)
+    return {
+        "config": cfg,
+        "model": {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})},
+        "epoch": ckpt.get("epoch", 0),
+        "best_rsum": ckpt.get("best_rsum", 0.0),
+        "Eiters": ckpt.get("Eiters", 0),
+    }

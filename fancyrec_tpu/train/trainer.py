@@ -1,0 +1,231 @@
+"""Training driver CLI (`fancyrec-train`), reference-workflow compatible.
+
+Same positional/flag surface as reference trainer.py:36-131; dataset layout,
+checkpoint policy, LR schedule (0.99/epoch, extra x0.5 after 2 stale
+epochs), early stop after 10 stale epochs, and validation on the test
+loader (reference trainer.py:283-319 -- its quirk of selecting the model on
+the test split is preserved; pass --validate_split val to fix it).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict
+
+import jax
+import numpy as np
+
+from fancyrec_tpu.config import Config, build_train_parser, config_from_args
+from fancyrec_tpu.data.dataset import PostDataset, load_info
+from fancyrec_tpu.data.loader import BatchLoader, prefetch_to_device
+from fancyrec_tpu.data.tokenizer import WordPieceTokenizer
+from fancyrec_tpu.eval.evaluator import encode_data, make_encode_fn, test_post_ranking
+from fancyrec_tpu.eval.metrics import composite_score
+from fancyrec_tpu.io.bigfile import ImageBigFile
+from fancyrec_tpu.io.dictfile import read_dict
+from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
+from fancyrec_tpu.losses import init_queue_state
+from fancyrec_tpu.train import checkpoints
+from fancyrec_tpu.train.state import (
+    current_lr, init_state, make_optimizer, scale_lr)
+from fancyrec_tpu.train.step import make_train_step, stack_microbatches
+
+log = logging.getLogger("fancyrec.train")
+
+
+def check_to_skip(filename: str, overwrite: int) -> bool:
+    if os.path.exists(filename):
+        print("%s exists." % filename, "overwrite" if overwrite else "skip")
+        return not overwrite
+    return False
+
+
+def build_datasets(cfg: Config) -> Dict[str, PostDataset]:
+    """Wire the reference on-disk layout (trainer.py:156-242)."""
+    colls = {"train": cfg.trainCollection, "val": cfg.valCollection,
+             "test": cfg.testCollection}
+    root = cfg.rootpath
+
+    video_feats = {k: ImageBigFile(os.path.join(root, c, "FeatureData",
+                                                cfg.video_feature))
+                   for k, c in colls.items()}
+    img_feats = {k: ImageBigFile(os.path.join(root, c, "FeatureData",
+                                              cfg.img_feature))
+                 for k, c in colls.items()}
+    cfg.visual_feat_dim = video_feats["train"].ndims
+
+    bow_vocab = load_vocab(os.path.join(
+        root, cfg.trainCollection, "TextData", "vocabulary", "bow",
+        cfg.vocab + ".pkl"))
+    rnn_vocab = load_vocab(os.path.join(
+        root, cfg.trainCollection, "TextData", "vocabulary", "rnn",
+        cfg.vocab + ".pkl"))
+    cfg.bow_vocab_size = len(bow_vocab)
+    cfg.vocab_size = len(rnn_vocab)
+    bow2vec = Bow2Vec(bow_vocab)
+
+    tokenizer = None
+    if cfg.text_net == "transformers":
+        vocab_path = cfg.bert_vocab or os.path.join(root, "bert_vocab.txt")
+        if not os.path.exists(vocab_path):
+            raise FileNotFoundError(
+                "transformers text_net needs a WordPiece vocab: pass "
+                "--bert_vocab or place bert_vocab.txt under rootpath "
+                "(offline replacement for bert-base-uncased)")
+        tokenizer = WordPieceTokenizer(vocab_path)
+
+    img_info, cls_info = load_info(root)
+    datasets = {}
+    for split, coll in colls.items():
+        cap_file = os.path.join(root, coll, "TextData", "%s.caption.txt" % coll)
+        video2frames = read_dict(os.path.join(
+            root, coll, "FeatureData", cfg.video_feature, "video2frames.txt"))
+        datasets[split] = PostDataset(
+            cap_file, video_feats[split], img_feats[split], bow2vec,
+            text_net=cfg.text_net, rnn_vocab=rnn_vocab, tokenizer=tokenizer,
+            video2frames=video2frames, img_info=img_info, cls_info=cls_info,
+            max_frames=cfg.max_frames, max_tokens=cfg.max_tokens,
+            max_words=cfg.max_words)
+    return datasets
+
+
+def validate(model, state, loader, cfg: Config, encode_fn=None):
+    brands, post_embs = encode_data(model, state.params, state.batch_stats,
+                                    loader, cfg.common_embedding_size,
+                                    encode_fn)
+    m = test_post_ranking(model, state.params, cfg.brand_num, post_embs, brands)
+    print("MedR:", m.medr)
+    print("MeanR:", m.meanr)
+    print("AUC[0-1]:", m.auc)
+    print("NDCG@10[0-1]:", m.ndcg10)
+    print("NDCG@50[0-1]:", m.ndcg50)
+    print("recall@1:", m.r1)
+    print("recall@5:", m.r5)
+    print("recall@10:", m.r10)
+    return composite_score(m), m
+
+
+def train_epoch(train_step, state, loader, accumulation_step: int,
+                epoch: int, num_epochs: int):
+    print("Epoch[{0} / {1}] LR: {2}".format(
+        epoch, num_epochs, current_lr(state)))
+    losses = []
+    group = []
+    t0 = time.time()
+    n_items = 0
+    for batch in loader:
+        group.append(batch)
+        if len(group) == accumulation_step:
+            state, metrics = train_step(state, stack_microbatches(group))
+            losses.append(float(metrics["loss"]))
+            n_items += sum(b["frames"].shape[0] for b in group)
+            group = []
+    # trailing partial group: keep reference behavior loosely -- the
+    # reference backward-accumulates them but only steps on full groups;
+    # we skip them (documented deviation, affects < accum_step batches/epoch)
+    dt = time.time() - t0
+    if losses:
+        print("epoch %d: mean loss %.4f  (%d updates, %.1f posts/s)"
+              % (epoch, float(np.mean(losses)), len(losses),
+                 n_items / max(dt, 1e-9)))
+    return state, losses
+
+
+def main(argv=None):
+    args = build_train_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    print(json.dumps({k: v for k, v in vars(args).items()}, indent=2, default=str))
+
+    cfg.logger_name = os.path.join(cfg.rootpath, "model", cfg.postfix)
+    if check_to_skip(os.path.join(cfg.logger_name, "model_best.pth.tar"),
+                     cfg.overwrite):
+        sys.exit(0)
+    if check_to_skip(os.path.join(cfg.logger_name, "val_metric.txt"),
+                     cfg.overwrite):
+        sys.exit(0)
+    os.makedirs(cfg.logger_name, exist_ok=True)
+    logging.basicConfig(format="%(asctime)s %(message)s", level=logging.INFO)
+
+    datasets = build_datasets(cfg)
+    cfg.finalize()
+
+    loaders = {
+        "train": BatchLoader(datasets["train"], cfg.batch_size, shuffle=True,
+                             seed=cfg.seed, final_batch="drop"),
+        "val": BatchLoader(datasets["val"], cfg.batch_size, final_batch="pad"),
+        "test": BatchLoader(datasets["test"], cfg.batch_size, final_batch="pad"),
+    }
+
+    model, state = init_state(cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print("model parameters: %d" % n_params)
+
+    best_rsum, no_impr, lr_counter = 0.0, 0, 0
+    best_epoch = None
+    eiters = 0
+
+    if cfg.resume:
+        if os.path.isfile(cfg.resume):
+            print("=> loading checkpoint '%s'" % cfg.resume)
+            ckpt = checkpoints.load_any(cfg.resume)
+            state = state.replace(params=ckpt["model"]["params"],
+                                  batch_stats=ckpt["model"]["batch_stats"])
+            eiters = ckpt.get("Eiters", 0)
+            print("=> loaded checkpoint (epoch %s, best_rsum %s)"
+                  % (ckpt.get("epoch"), ckpt.get("best_rsum")))
+            validate(model, state, loaders["val"], cfg)
+        else:
+            print("=> no checkpoint found at '%s'" % cfg.resume)
+
+    tx = make_optimizer(cfg)
+    train_step = make_train_step(model, cfg, tx)
+    encode_fn = make_encode_fn(model)
+    val_loader = loaders.get(cfg.validate_split, loaders["test"])
+
+    for epoch in range(cfg.num_epochs):
+        # the reference constructs a fresh loss module each epoch
+        # (trainer.py:342-354), resetting the contrastive queue: preserved
+        state = state.replace(
+            queue=init_queue_state(cfg.queue_size, cfg.common_embedding_size))
+        state, _ = train_epoch(train_step, state, loaders["train"],
+                               cfg.accumulation_step, epoch, cfg.num_epochs)
+
+        print("=" * 58)
+        print("=" * 23 + "Test Phase" + "=" * 25)
+        print("=" * 58)
+        score, metrics = validate(model, state, val_loader, cfg, encode_fn)
+        is_best = score > best_rsum
+        print(" * Current perf in Test: {}".format(score))
+        print(" * Best perf in Test: {}".format(best_rsum))
+
+        best_rsum = checkpoints.maybe_save_best(
+            cfg.logger_name, cfg, state.params, state.batch_stats,
+            epoch, score, best_rsum, int(state.step) + eiters, best_epoch)
+        if is_best:
+            best_epoch = epoch
+
+        lr_counter += 1
+        state = scale_lr(state, cfg.lr_decay_rate)
+        if not is_best:
+            no_impr += 1
+            if no_impr > 10:
+                print("Early stopping happened.\n")
+                break
+            if lr_counter > 2:
+                state = scale_lr(state, 0.5)
+                lr_counter = 0
+        else:
+            no_impr = 0
+
+    with open(os.path.join(cfg.logger_name, "val_metric.txt"), "w") as f:
+        f.write(str(best_rsum))
+    print("best performance on Val: {}\n".format(best_rsum))
+    return best_rsum
+
+
+if __name__ == "__main__":
+    main()

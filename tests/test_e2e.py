@@ -1,0 +1,78 @@
+"""End-to-end: fixture -> train CLI -> checkpoints -> tester CLI."""
+
+import os
+
+import pytest
+
+from fancyrec_tpu.utils.fixture import make_fixture
+from fancyrec_tpu.train import trainer
+from fancyrec_tpu.eval import tester
+
+COMMON_ARGS = [
+    "insCartrain", "insCarval", "insCartest",
+    "--brand_num", "3", "--brand_aspect", "16",
+    "--video_feature", "resnet152_dim_16", "--img_feature", "imgfeat_dim_16",
+    "--common_embedding_size", "32", "--visual_rnn_size", "16",
+    "--text_rnn_size", "16", "--visual_kernel_num", "8",
+    "--text_kernel_num", "8", "--text_mapping_size", "32",
+    "--visual_mapping_size", "32", "--word_dim", "16",
+    "--batch_size", "4", "--accumulation_step", "2",
+    "--learning_rate", "0.001", "--overwrite", "1",
+    "--max_frames", "8", "--max_tokens", "24", "--max_words", "16",
+]
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    make_fixture(root, brand_num=3, videos_per_brand=4, imgs_per_brand=4,
+                 feat_dim=16, frames_per_video=4, seed=0)
+    return root
+
+
+def test_train_then_test_bigru_cl(root):
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_bigru",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "2",
+    ])
+    # the fixture has a strong brand signal: must learn far beyond chance
+    assert best > 450, best
+
+    logdir = os.path.join(root, "model", "run_bigru")
+    assert os.path.exists(os.path.join(logdir, "model_best.pth.tar"))
+
+    m = tester.main(["insCartest", "--rootpath", root,
+                     "--logger_name", logdir, "--batch_size", "4"])
+    assert m.auc > 0.8
+
+
+def test_train_transformers_cl(root):
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_tf",
+        "--text_net", "transformers", "--fusion_style", "fc",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "4",
+        "--text_transformers_hidden_size", "48",
+    ])
+    assert best > 420, best
+
+
+def test_train_mrl_loss_runs(root):
+    """mrl converges slower; just require clear above-chance learning."""
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_mrl",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "mrl", "--cost_style", "sum", "--num_epochs", "2",
+    ])
+    assert best > 300, best
+
+
+def test_resume_from_checkpoint(root):
+    logdir = os.path.join(root, "model", "run_bigru")
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_resume",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "1",
+        "--resume", os.path.join(logdir, "model_best.pth.tar"),
+    ])
+    assert best > 450, best
