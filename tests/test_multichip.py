@@ -1,0 +1,70 @@
+"""Multi-chip sharding validation on the virtual 8-device CPU mesh."""
+
+import sys
+import os
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_dryrun_multichip_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_param_shardings_rules():
+    from jax.sharding import PartitionSpec as P
+    from fancyrec_tpu.parallel.mesh import build_mesh, param_shardings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = build_mesh("4,2")
+    params = {
+        "brand_encoding": {
+            "aspects_embeddings": np.zeros((2000, 1024)),
+            "brand_embeddings": np.zeros((52, 2000)),
+        },
+        "text_encoding": {
+            "text_mapping": {"fc1": {"kernel": np.zeros((9000, 1024)),
+                                     "bias": np.zeros(1024)}},
+        },
+        "misc": {"w": np.zeros((7,))},   # odd size: must stay replicated
+    }
+    sh = param_shardings(mesh, params)
+    assert sh["brand_encoding"]["aspects_embeddings"].spec == P("model", None)
+    assert sh["brand_encoding"]["brand_embeddings"].spec == P(None, "model")
+    assert sh["text_encoding"]["text_mapping"]["fc1"]["kernel"].spec == P("model", None)
+    assert sh["text_encoding"]["text_mapping"]["fc1"]["bias"].spec == P()
+    assert sh["misc"]["w"].spec == P()
+
+
+def test_distributed_eval_matches_single_device():
+    """Sharded brands x posts similarity + metrics == single-device result."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fancyrec_tpu.eval.metrics import cosine_sim_matrix, ranking_metrics_jax
+    from fancyrec_tpu.parallel.mesh import build_mesh
+
+    rng = np.random.RandomState(0)
+    brands_emb = rng.randn(8, 32).astype(np.float32)
+    posts = rng.randn(400, 32).astype(np.float32)
+    labels = rng.randint(0, 8, 400).astype(np.int32)
+
+    single = ranking_metrics_jax(
+        np.asarray(cosine_sim_matrix(brands_emb, posts)), labels, 8)
+
+    mesh = build_mesh("8,1")
+    with mesh:
+        posts_sh = jax.device_put(posts, NamedSharding(mesh, P("data", None)))
+        labels_sh = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        scores = cosine_sim_matrix(jax.device_put(brands_emb), posts_sh)
+        multi = ranking_metrics_jax(scores, labels_sh, 8)
+
+    for a, b in zip(single, multi):
+        np.testing.assert_allclose(float(a), float(b), atol=1e-5)
