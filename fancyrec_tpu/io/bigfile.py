@@ -43,6 +43,7 @@ class BigFileReader:
                 "id.txt holds %d names but shape.txt declares %d rows (%s)"
                 % (len(self.names), self.nr_of_rows, datadir)
             )
+        self.nr_of_images = self.nr_of_rows  # reference API alias
         self.name2index: Dict[str, int] = {n: i for i, n in enumerate(self.names)}
         self.binary_file = os.path.join(datadir, "feature.bin")
         self._mmap = np.memmap(

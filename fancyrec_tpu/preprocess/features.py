@@ -1,0 +1,99 @@
+"""Feature extraction driver: images/frames -> BigFile, through the jitted
+ResNet-152 with host-side double buffering.
+
+The reference path is: dump jpgs -> torch DataLoader -> resnet -> txt lines
+-> txt2bin (extract_frame_feature.py, preprocess_images.py:78-113). Here the
+decode/resize runs on host threads while the TPU crunches the previous
+batch, and rows stream straight into a BigFileWriter -- same artifacts
+(feature.bin/id.txt/shape.txt), no intermediate txt (an optional writer
+emits the txt lines for byte-level pipeline parity checks).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from fancyrec_tpu.io.bigfile import BigFileWriter
+
+
+def iter_image_files(image_dir: str, names: Optional[Iterable[str]] = None,
+                     resize=(224, 224)) -> Iterator[Tuple[str, np.ndarray]]:
+    """(name_without_ext, 224x224x3 uint8 RGB) over jpgs in a directory."""
+    from PIL import Image
+
+    names = sorted(names) if names is not None else sorted(os.listdir(image_dir))
+    for fname in names:
+        if not fname.lower().endswith((".jpg", ".jpeg", ".png")):
+            continue
+        path = os.path.join(image_dir, fname)
+        try:
+            img = Image.open(path).convert("RGB").resize(resize)
+        except Exception:
+            continue
+        yield os.path.splitext(fname)[0], np.asarray(img, np.uint8)
+
+
+def _batched(stream, batch_size: int):
+    names, imgs = [], []
+    for name, img in stream:
+        names.append(name)
+        imgs.append(img)
+        if len(names) == batch_size:
+            yield names, np.stack(imgs)
+            names, imgs = [], []
+    if names:
+        pad = batch_size - len(names)
+        yield names, np.concatenate(
+            [np.stack(imgs), np.zeros((pad,) + imgs[0].shape, np.uint8)])
+
+
+def extract_features(stream: Iterable[Tuple[str, np.ndarray]],
+                     out_dir: str, batch_size: int = 128,
+                     params=None, extract_fn: Optional[Callable] = None,
+                     txt_path: Optional[str] = None,
+                     prefetch: int = 2) -> int:
+    """Stream (name, image) pairs through the extractor into a BigFile.
+
+    Returns the number of feature rows written. Decode (producer thread)
+    overlaps with TPU compute (consumer); batches are fixed-size (the tail
+    is zero-padded and trimmed after the forward pass) so the extractor
+    compiles once.
+    """
+    if extract_fn is None:
+        from fancyrec_tpu.models.resnet import init_random_params, make_extractor
+        params = params if params is not None else init_random_params()
+        extract_fn = make_extractor(params, batch_size)
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def producer():
+        try:
+            for item in _batched(stream, batch_size):
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    txt = open(txt_path, "w") if txt_path else None
+    written = 0
+    with BigFileWriter(out_dir) as w:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            names, images = item
+            feats = np.asarray(extract_fn(images))[: len(names)]
+            written += w.write_batch(names, feats)
+            if txt is not None:
+                for n, row in zip(names, feats):
+                    txt.write(n + " " + " ".join("%g" % v for v in row) + "\n")
+    if txt is not None:
+        txt.close()
+    return written

@@ -1,0 +1,108 @@
+"""Video frame sampling (reference preprocess/preprocess_videos.py:8-107).
+
+Two modes:
+  * dump_frames: artifact-parity mode -- decode with OpenCV, sample one
+    frame every fps//2 frames (~2 fps), write jpgs named
+    video{id}_{count}_cls{brandidx}.jpg (exact reference naming).
+  * iter_sampled_frames: fused-pipeline mode -- yields (frame_name,
+    224x224x3 uint8 array) without touching disk, feeding the jitted
+    ResNet extractor directly (the reference's imwrite-then-reread round
+    trip was its preprocessing bottleneck).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from fancyrec_tpu.io.dictfile import write_dict
+
+
+def _list_videos(root: str, categories) -> List[Tuple[int, str, str]]:
+    """-> [(brand_index, category, filename)] in the reference's sorted
+    iteration order (categories sorted, files sorted, mp4 only)."""
+    if isinstance(categories, str):
+        categories = os.listdir(categories)
+    categories = sorted(categories)
+    out = []
+    for index, cate in enumerate(categories):
+        for f in sorted(os.listdir(os.path.join(root, cate))):
+            if f.endswith("mp4"):
+                out.append((index, cate, f))
+    return out
+
+
+def iter_video_frames(path: str, resize: Optional[Tuple[int, int]] = None
+                      ) -> Iterator[Tuple[int, np.ndarray]]:
+    """Decode a video, yielding (frame_count, RGB array) for every sampled
+    frame (one per fps//2 frames, matching preprocess_videos.py:36-38)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    fps = int(round(cap.get(cv2.CAP_PROP_FPS))) or 30
+    interval = max(fps // 2, 1)
+    count = 0
+    ok = cap.isOpened()
+    if ok:
+        ok, frame = cap.read()
+    while ok:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if count % interval == 0:
+            if resize is not None:
+                frame = cv2.resize(frame, resize)
+            yield count, frame[:, :, ::-1]  # BGR -> RGB
+        count += 1
+    cap.release()
+
+
+def dump_frames(root: str, categories, frames_save_path: str) -> int:
+    """Artifact-parity frame dump (cv2.imwrite per sampled frame)."""
+    import cv2
+
+    os.makedirs(frames_save_path, exist_ok=True)
+    video_id = 0
+    written = 0
+    for brand_idx, cate, fname in _list_videos(root, categories):
+        video_id += 1
+        for count, rgb in iter_video_frames(os.path.join(root, cate, fname)):
+            frame_name = "video%d_%d_cls%d.jpg" % (video_id, count, brand_idx)
+            cv2.imwrite(os.path.join(frames_save_path, frame_name),
+                        rgb[:, :, ::-1])
+            written += 1
+    return written
+
+
+def iter_sampled_frames(root: str, categories, resize=(224, 224)
+                        ) -> Iterator[Tuple[str, np.ndarray]]:
+    """Fused mode: (frame_name_without_ext, HxWx3 uint8 RGB) stream."""
+    video_id = 0
+    for brand_idx, cate, fname in _list_videos(root, categories):
+        video_id += 1
+        for count, rgb in iter_video_frames(os.path.join(root, cate, fname),
+                                            resize=resize):
+            yield "video%d_%d_cls%d" % (video_id, count, brand_idx), rgb
+
+
+def video2idx_and_idx2video(root_path: str, categories, out_path: str) -> dict:
+    """video name <-> running id maps (preprocess_videos.py:73-107)."""
+    video2idx: Dict[str, int] = {}
+    idx2video: Dict[int, str] = {}
+    video_id = 0
+    dups = 0
+    for _, cate, fname in _list_videos(root_path, categories):
+        video_id += 1
+        name = fname[:-4]
+        if name not in video2idx:
+            video2idx[name] = video_id
+            idx2video[video_id] = name
+        else:
+            dups += 1
+    info = {"video2idx": video2idx, "idx2video": idx2video}
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        write_dict(out_path, info)
+    return info
