@@ -50,13 +50,32 @@ class BigFileReader:
             self.binary_file, dtype=np.float32, mode="r",
             shape=(self.nr_of_rows, self.ndims),
         )
+        self._native = None
+        if self.nr_of_rows > 0:
+            try:
+                from fancyrec_tpu.io import native
+                if native.available():
+                    self._native = native.NativeGather(
+                        self.binary_file, self.nr_of_rows, self.ndims)
+            except Exception:
+                self._native = None
 
     # -- bulk vectorized access (the fast path) ------------------------------
 
     def read_rows(self, indices: Sequence[int]) -> np.ndarray:
-        """Gather rows by integer index -> (len(indices), D) float32 array."""
+        """Gather rows by integer index -> (len(indices), D) float32 array.
+
+        Uses the native multithreaded mmap gather (io/native.py) when the
+        C++ library is built, the numpy memmap fancy-index otherwise."""
         idx = np.asarray(indices, dtype=np.int64)
+        if self._native is not None:
+            return self._native.gather(idx)
         return np.asarray(self._mmap[idx])
+
+    def prefetch_rows(self, indices: Sequence[int]) -> None:
+        """Advise the kernel that these rows are about to be read."""
+        if self._native is not None:
+            self._native.prefetch(np.asarray(indices, dtype=np.int64))
 
     def read_by_names(self, names: Sequence[str]) -> np.ndarray:
         """Gather rows by name, preserving request order."""

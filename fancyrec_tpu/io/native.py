@@ -1,0 +1,110 @@
+"""ctypes bridge to the native row-gather engine (native/fancyrec_io.cpp).
+
+Auto-builds libfancyrec_io.so with `make -C native` on first use when a
+toolchain is present; all callers degrade gracefully to the numpy memmap
+path when the library is unavailable (no hard native dependency).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libfancyrec_io.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_attempted
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH):
+            if _build_attempted or not os.path.exists(
+                    os.path.join(_NATIVE_DIR, "Makefile")):
+                return None
+            _build_attempted = True
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               capture_output=True, timeout=120, check=True)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.frio_open.restype = ctypes.c_int64
+        lib.frio_open.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.c_int64]
+        lib.frio_gather.restype = ctypes.c_int
+        lib.frio_gather.argtypes = [ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_float)]
+        lib.frio_prefetch.restype = ctypes.c_int
+        lib.frio_prefetch.argtypes = lib.frio_gather.argtypes[:3]
+        lib.frio_close.restype = ctypes.c_int
+        lib.frio_close.argtypes = [ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeGather:
+    """Native mmap gather over one feature.bin. Raises if unavailable."""
+
+    def __init__(self, path: str, rows: int, dim: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable")
+        self._lib = lib
+        self.rows, self.dim = rows, dim
+        handle = lib.frio_open(path.encode(), rows, dim)
+        if handle < 0:
+            raise OSError(-handle, "frio_open failed for %s" % path)
+        self._handle = handle
+
+    def gather(self, indices: np.ndarray, out: Optional[np.ndarray] = None
+               ) -> np.ndarray:
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        n = len(idx)
+        if out is None:
+            out = np.empty((n, self.dim), np.float32)
+        rc = self._lib.frio_gather(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise IndexError("frio_gather failed (out-of-range index?)")
+        return out
+
+    def prefetch(self, indices: np.ndarray) -> None:
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        self._lib.frio_prefetch(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(idx))
+
+    def close(self) -> None:
+        if getattr(self, "_handle", -1) >= 0:
+            self._lib.frio_close(self._handle)
+            self._handle = -1
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

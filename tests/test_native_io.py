@@ -1,0 +1,60 @@
+"""Native C++ gather engine: correctness vs the numpy memmap path."""
+
+import numpy as np
+import pytest
+
+from fancyrec_tpu.io import native
+from fancyrec_tpu.io.bigfile import BigFileWriter, ImageBigFile
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nat") / "feat")
+    rng = np.random.RandomState(0)
+    mat = rng.randn(500, 64).astype(np.float32)
+    with BigFileWriter(d, ndims=64) as w:
+        w.write_batch(["r%d" % i for i in range(500)], mat)
+    return d, mat
+
+
+def test_native_builds_and_gathers(store):
+    d, mat = store
+    if not native.available():
+        pytest.skip("no C++ toolchain available to build the native lib")
+    g = native.NativeGather(d + "/feature.bin", 500, 64)
+    idx = np.array([499, 0, 7, 7, 123], np.int64)
+    g.prefetch(idx)
+    out = g.gather(idx)
+    np.testing.assert_array_equal(out, mat[idx])
+    g.close()
+
+
+def test_native_rejects_bad_index(store):
+    d, _ = store
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    g = native.NativeGather(d + "/feature.bin", 500, 64)
+    with pytest.raises(IndexError):
+        g.gather(np.array([500], np.int64))
+    g.close()
+
+
+def test_bigfile_uses_native_transparently(store):
+    d, mat = store
+    r = ImageBigFile(d)
+    idx = np.random.RandomState(1).randint(0, 500, 200)
+    got = r.read_rows(idx)
+    np.testing.assert_array_equal(got, mat[idx])
+    if native.available():
+        assert r._native is not None  # the fast path actually engaged
+
+
+def test_large_gather_multithreaded_path(store):
+    d, mat = store
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    g = native.NativeGather(d + "/feature.bin", 500, 64)
+    idx = np.random.RandomState(2).randint(0, 500, 5000).astype(np.int64)
+    out = g.gather(idx)  # n >= 64 engages the thread pool
+    np.testing.assert_array_equal(out, mat[idx])
+    g.close()
