@@ -94,7 +94,8 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
-                   block: int = 4096, use_pallas: bool = True
+                   block: int = 4096, use_pallas: bool = True,
+                   pvary_axis: Optional[str] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k posts per brand without materializing the full score matrix.
 
@@ -119,15 +120,21 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
         scores = jnp.dot(brands_n, (blk * inv).T,
                          preferred_element_type=jnp.float32)
         scores = jnp.where(vmask[None, :], scores, -jnp.inf)
-        cand_vals = jnp.concatenate([vals, scores], axis=1)
+        cand_vals = jnp.concatenate([vals, scores], axis=1).astype(jnp.float32)
+        blk_idx = (start + jnp.arange(block, dtype=jnp.int32)).astype(jnp.int32)
         cand_idx = jnp.concatenate(
-            [idxs, jnp.broadcast_to(start + jnp.arange(block), (b, block))],
-            axis=1)
+            [idxs, jnp.broadcast_to(blk_idx, (b, block))], axis=1)
         new_vals, sel = jax.lax.top_k(cand_vals, k)
-        new_idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+        new_idx = jnp.take_along_axis(cand_idx, sel, axis=1).astype(jnp.int32)
         return (new_vals, new_idx), None
 
-    init = (jnp.full((b, k), -jnp.inf), jnp.zeros((b, k), jnp.int32))
+    init = (jnp.full((b, k), -jnp.inf, dtype=jnp.float32),
+            jnp.zeros((b, k), jnp.int32))
+    if pvary_axis is not None:
+        # under shard_map the scan carry mixes with shard-varying data;
+        # mark the init as varying over that axis so the types line up
+        init = jax.tree.map(
+            lambda x: jax.lax.pcast(x, pvary_axis, to="varying"), init)
     starts = (jnp.arange(nb) * block).astype(jnp.int32)
     (vals, idxs), _ = jax.lax.scan(scan_block, init, (blocks, valid, starts))
     return vals, idxs
@@ -146,7 +153,8 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
     shard_size = n // n_shards
 
     def local(brands_l, posts_l):
-        vals, idxs = retrieval_topk(brands_l, posts_l, k, block=block)
+        vals, idxs = retrieval_topk(brands_l, posts_l, k, block=block,
+                                    pvary_axis=axis)
         shard_id = jax.lax.axis_index(axis)
         idxs = idxs + shard_id * shard_size
         # gather every shard's candidates and merge
@@ -154,11 +162,14 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
         all_idxs = jax.lax.all_gather(idxs, axis, axis=1, tiled=True)
         mvals, sel = jax.lax.top_k(all_vals, k)
         midx = jnp.take_along_axis(all_idxs, sel, axis=1)
-        return mvals, midx
+        # every shard holds the identical merged result; emit it on a
+        # sharded leading axis and let the caller read shard 0 (avoids
+        # needing a static replication proof for the out_specs)
+        return mvals[None], midx[None]
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(axis, None)),
-        out_specs=(P(), P()),
-        check_rep=False)
-    return fn(brands, posts_sharded)
+        out_specs=(P(axis), P(axis)))
+    vals, idxs = fn(brands, posts_sharded)
+    return vals[0], idxs[0]
