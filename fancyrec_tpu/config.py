@@ -105,6 +105,7 @@ class Config:
     max_tokens: int = 128           # static token-axis pad for BERT path
     max_words: int = 64             # static token-axis pad for bi-gru path
     bert_vocab: str = ""            # WordPiece vocab.txt path (offline tokenizer)
+    w2v_feature: str = ""           # word2vec WordBigFile dir for embed init (bi-gru path)
     bert_weights: str = ""          # optional HF/torch BERT weight file to load
     validate_split: str = "test"    # reference validates on the *test* loader (trainer.py:283-288)
 
@@ -254,6 +255,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_tokens", type=int, default=d.max_tokens)
     p.add_argument("--max_words", type=int, default=d.max_words)
     p.add_argument("--bert_vocab", type=str, default=d.bert_vocab)
+    p.add_argument("--w2v_feature", type=str, default=d.w2v_feature)
     p.add_argument("--bert_weights", type=str, default=d.bert_weights)
     p.add_argument("--validate_split", type=str, default=d.validate_split)
     return p

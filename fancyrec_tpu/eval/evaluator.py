@@ -56,6 +56,39 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
     return brands, post_embs
 
 
+def make_encode_vis_fn(model):
+    """Jitted visual-only embedding (reference VisDataSet4DualEncoding path:
+    model.embed_vis without fusion, data_provider.py:275-299)."""
+
+    @jax.jit
+    def encode(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        v = VisualBatch(frames=batch["frames"], mean_origin=batch["origin"],
+                        mask=batch["vmask"])
+        return model.apply(variables, v, deterministic=True,
+                           method=model.embed_vis)
+
+    return encode
+
+
+def make_encode_txt_fn(model):
+    """Jitted text-only embedding (reference TxtDataSet4DualEncoding path)."""
+
+    @jax.jit
+    def encode(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        t = TextBatch(bows=batch["bows"], tokens=batch["tokens"],
+                      type_ids=batch["type_ids"], mask=batch["tmask"])
+        return model.apply(variables, t, deterministic=True,
+                           method=model.embed_txt)
+
+    return encode
+
+
 def brand_embeddings(model, params, brand_num: int) -> jnp.ndarray:
     """All-brand embeddings: aspect mixtures meaned over the aspect axis
     (reference evaluator.py:89-94)."""

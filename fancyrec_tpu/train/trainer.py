@@ -157,10 +157,32 @@ def main(argv=None):
         "train": BatchLoader(datasets["train"], cfg.batch_size, shuffle=True,
                              seed=cfg.seed, final_batch="drop"),
         "val": BatchLoader(datasets["val"], cfg.batch_size, final_batch="pad"),
+        # 'check': the train set re-scored for overfitting detection
+        # (reference data_provider.py:365-369)
+        "check": BatchLoader(datasets["train"], cfg.batch_size,
+                             final_batch="pad"),
         "test": BatchLoader(datasets["test"], cfg.batch_size, final_batch="pad"),
     }
 
     model, state = init_state(cfg)
+    if cfg.w2v_feature and cfg.text_net == "bi-gru":
+        # word2vec embedding init (reference model.py:252-256 get_we_parameter
+        # path): overwrite the embed table with pretrained vectors
+        from fancyrec_tpu.io.vocab import load_vocab as _lv
+        from fancyrec_tpu.io.word2vec import get_we_parameter
+        rnn_vocab = _lv(os.path.join(
+            cfg.rootpath, cfg.trainCollection, "TextData", "vocabulary",
+            "rnn", cfg.vocab + ".pkl"))
+        we = get_we_parameter(rnn_vocab, cfg.w2v_feature, seed=cfg.seed)
+        if we.shape == state.params["text_encoding"]["embed"].shape:
+            params = dict(state.params)
+            te = dict(params["text_encoding"]); te["embed"] = we
+            params["text_encoding"] = te
+            state = state.replace(params=params)
+            print("initialized word embeddings from %s" % cfg.w2v_feature)
+        else:
+            print("w2v shape %s != embed %s; keeping random init"
+                  % (we.shape, state.params["text_encoding"]["embed"].shape))
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print("model parameters: %d" % n_params)
 
