@@ -29,25 +29,98 @@ def bench_resnet152(batch_size: int = 128, iters: int = 40,
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 256, (batch_size, 224, 224, 3),
                                      np.uint8))
+    _ = np.asarray(extract(images)[0])   # compile + drain
     for _ in range(warmup):
-        extract(images).block_until_ready()
+        out = extract(images)
+    _ = np.asarray(out[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = extract(images)
-    out.block_until_ready()
+    # fetch a single row: block_until_ready is unreliable over the axon
+    # tunnel; a tiny device->host read forces the queue to drain
+    _ = np.asarray(out[0])
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
 
+def bench_train_step(iters: int = 10) -> float:
+    """Posts/sec through the full jitted accumulating train step at the
+    bin/instance.sh recipe scale (transformers+ph+cl, common dim 1024,
+    batch 8 x accum 8)."""
+    import __graft_entry__ as g
+    from fancyrec_tpu.train.state import init_state, make_optimizer
+    from fancyrec_tpu.train.step import make_train_step, stack_microbatches
+
+    cfg = g._flagship_cfg()
+    cfg.queue_size = 512   # queue size doesn't affect step cost materially
+    cfg = cfg.finalize()
+    model, state = init_state(cfg)
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, cfg, tx)
+    rng = np.random.RandomState(0)
+    micro = [g._example_batch(cfg, cfg.batch_size, rng)
+             for _ in range(cfg.accumulation_step)]
+    sb = jax.device_put(stack_microbatches(
+        [{k: np.asarray(v) for k, v in m.items()} for m in micro]))
+    state, metrics = step(state, sb)     # compile
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, sb)
+    _ = float(metrics["loss"])           # forces the queue to drain
+    dt = time.perf_counter() - t0
+    posts = cfg.batch_size * cfg.accumulation_step * iters
+    return posts / dt
+
+
+def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
+                    k: int = 10) -> float:
+    """Posts/sec through the streaming top-k retrieval (51-brand query)."""
+    from fancyrec_tpu.ops.similarity import retrieval_topk
+
+    # generate on device: a (n_posts, dim) host->device transfer over the
+    # tunneled chip would dominate the measurement
+    key = jax.random.PRNGKey(0)
+    brands = jax.random.normal(key, (51, dim), jnp.float32)
+    posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
+    f = jax.jit(lambda b, p: retrieval_topk(b, p, k, block=4096))
+    _ = np.asarray(f(brands, posts)[0])  # compile + drain
+    t0 = time.perf_counter()
+    out = f(brands, posts)
+    _ = np.asarray(out[0])               # (51, k) fetch forces completion
+    return n_posts / (time.perf_counter() - t0)
+
+
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    fps = bench_resnet152(batch_size=batch)
-    print(json.dumps({
-        "metric": "resnet152_feature_extraction_throughput",
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
-    }))
+    mode = "resnet"
+    args = sys.argv[1:]
+    if args and not args[0].isdigit():
+        mode, args = args[0], args[1:]
+    if mode == "resnet":
+        batch = int(args[0]) if args else 128
+        fps = bench_resnet152(batch_size=batch)
+        print(json.dumps({
+            "metric": "resnet152_feature_extraction_throughput",
+            "value": round(fps, 1),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / BASELINE_FPS, 4),
+        }))
+    elif mode == "train":
+        pps = bench_train_step()
+        print(json.dumps({
+            "metric": "train_step_throughput_recipe_config",
+            "value": round(pps, 1), "unit": "posts/sec/chip",
+            "vs_baseline": None,
+        }))
+    elif mode == "retrieval":
+        pps = bench_retrieval()
+        print(json.dumps({
+            "metric": "retrieval_topk_1m_posts",
+            "value": round(pps / 1e6, 2), "unit": "Mposts/sec/chip",
+            "vs_baseline": None,
+        }))
+    else:
+        raise SystemExit("usage: bench.py [resnet [batch]|train|retrieval]")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,15 @@ class Config:
     text_norm: bool = False
     text_transformers_hidden_size: int = 768
     text_net: str = "transformers"  # bi-gru|transformers
+    # BERT architecture knobs (bert-base-uncased defaults; the reference
+    # hardcodes BertConfig(num_hidden_layers=3, num_attention_heads=12)
+    # over bert-base, model.py:317)
+    bert_vocab_size: int = 30522
+    bert_num_layers: int = 3
+    bert_num_heads: int = 12
+    bert_intermediate_size: int = 3072
+    bert_max_position: int = 512
+    bert_type_vocab: int = 2
 
     # visual encoding
     video_feature: str = "resnet-152-img1k-flatten0_outputos"
@@ -108,6 +117,7 @@ class Config:
     w2v_feature: str = ""           # word2vec WordBigFile dir for embed init (bi-gru path)
     bert_weights: str = ""          # optional HF/torch BERT weight file to load
     validate_split: str = "test"    # reference validates on the *test* loader (trainer.py:283-288)
+    auto_resume: bool = False       # resume from the latest epoch checkpoint after a crash
 
     # -- derived at setup (reference trainer.py:154-234) --
     text_kernel_sizes_list: List[int] = field(default_factory=list)
@@ -258,6 +268,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--w2v_feature", type=str, default=d.w2v_feature)
     p.add_argument("--bert_weights", type=str, default=d.bert_weights)
     p.add_argument("--validate_split", type=str, default=d.validate_split)
+    p.add_argument("--auto_resume", action="store_true")
     return p
 
 

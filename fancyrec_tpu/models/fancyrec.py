@@ -58,8 +58,13 @@ class FancyRec(nn.Module):
             elif cfg.text_net == "transformers":
                 self.text_encoding = TextTransformersEncoder(
                     bert=BertConfig(
+                        vocab_size=cfg.bert_vocab_size,
                         hidden_size=cfg.text_transformers_hidden_size,
-                        num_hidden_layers=3, num_attention_heads=12),
+                        num_hidden_layers=cfg.bert_num_layers,
+                        num_attention_heads=cfg.bert_num_heads,
+                        intermediate_size=cfg.bert_intermediate_size,
+                        max_position_embeddings=cfg.bert_max_position,
+                        type_vocab_size=cfg.bert_type_vocab),
                     kernel_num=cfg.text_kernel_num,
                     kernel_sizes=tuple(cfg.text_kernel_sizes_list),
                     mapping_out=cfg.text_mapping_size,

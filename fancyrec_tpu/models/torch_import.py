@@ -133,6 +133,23 @@ def fusion_params(sd: Dict[str, Any], fusion_style: str):
     raise ValueError(fusion_style)
 
 
+def infer_bert_dims(text_sd: Dict[str, Any], cfg) -> None:
+    """Set cfg's BERT shape knobs from a text-tower state dict."""
+    key = "model.embeddings.word_embeddings.weight"
+    if key in text_sd:
+        cfg.bert_vocab_size = _a(text_sd[key]).shape[0]
+        cfg.bert_max_position = _a(
+            text_sd["model.embeddings.position_embeddings.weight"]).shape[0]
+        cfg.bert_type_vocab = _a(
+            text_sd["model.embeddings.token_type_embeddings.weight"]).shape[0]
+        cfg.bert_intermediate_size = _a(
+            text_sd["model.encoder.layer.0.intermediate.dense.weight"]).shape[0]
+        n = 0
+        while "model.encoder.layer.%d.intermediate.dense.weight" % n in text_sd:
+            n += 1
+        cfg.bert_num_layers = min(n, cfg.bert_num_layers) or cfg.bert_num_layers
+
+
 def fancyrec_variables_from_reference(state_list, cfg) -> dict:
     """list-form reference state dict -> {'params': ..., 'batch_stats': ...}.
 
@@ -150,10 +167,16 @@ def fancyrec_variables_from_reference(state_list, cfg) -> dict:
             params["text_encoding"] = text_gru_encoder_params(
                 text_sd, cfg.text_kernel_sizes_list, has_mapping)
         else:
+            infer_bert_dims(text_sd, cfg)
             params["text_encoding"] = text_transformers_encoder_params(
                 text_sd, cfg.text_kernel_sizes_list,
-                BertConfig(hidden_size=cfg.text_transformers_hidden_size,
-                           num_hidden_layers=3, num_attention_heads=12),
+                BertConfig(vocab_size=cfg.bert_vocab_size,
+                           hidden_size=cfg.text_transformers_hidden_size,
+                           num_hidden_layers=cfg.bert_num_layers,
+                           num_attention_heads=cfg.bert_num_heads,
+                           intermediate_size=cfg.bert_intermediate_size,
+                           max_position_embeddings=cfg.bert_max_position,
+                           type_vocab_size=cfg.bert_type_vocab),
                 has_mapping)
     fp, stats = fusion_params(fusion_sd, cfg.fusion_style)
     params["fusion_encoding"] = fp

@@ -1,0 +1,50 @@
+"""Multi-host initialization.
+
+One call sets up jax.distributed for multi-host pods (coordinator address
+and process ids from the standard env vars or explicit args); on single
+host it is a no-op. The mesh code (parallel.mesh) then sees all global
+devices, and GSPMD handles cross-host collectives over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_initialized = False
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed when running multi-host; returns True if
+    distributed mode is active. Reads JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID when args are omitted (TPU pod
+    slices auto-detect without any of these)."""
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
+    process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
+    if coordinator_address or os.environ.get("TPU_WORKER_HOSTNAMES"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        _initialized = True
+        return jax.process_count() > 1
+    _initialized = True
+    return False
+
+
+def _int_env(name: str) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return jax.process_index() == 0

@@ -102,6 +102,9 @@ def load_any(path: str, cfg_hint: Optional[Config] = None) -> Dict[str, Any]:
         for k in ("text_mapping_size", "visual_mapping_size"):
             if isinstance(raw.get(k), (list, tuple)):
                 raw[k] = raw[k][1]
+        for k in ("text_kernel_sizes", "visual_kernel_sizes"):
+            if isinstance(raw.get(k), (list, tuple)):
+                raw[k] = "-".join(str(x) for x in raw[k])
         raw.pop("optimizer", None)  # reference stores the optimizer object here
         cfg = Config(**{k: v for k, v in raw.items()
                         if not k.startswith("_")}).finalize()

@@ -135,18 +135,52 @@ def train_epoch(train_step, state, loader, accumulation_step: int,
     return state, losses
 
 
+def _latest_epoch_checkpoint(logdir: str):
+    import re as _re
+    best = (-1, None)
+    if os.path.isdir(logdir):
+        for f in os.listdir(logdir):
+            m = _re.match(r"checkpoint_epoch_(\d+)\.pth\.tar$", f)
+            if m and int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), os.path.join(logdir, f))
+    return best[1]
+
+
+class MetricsLog:
+    """JSONL metrics stream (tensorboard-logger equivalent, grep-able)."""
+
+    def __init__(self, logdir: str):
+        self.path = os.path.join(logdir, "metrics.jsonl")
+
+    def write(self, record: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
 def main(argv=None):
     args = build_train_parser().parse_args(argv)
     cfg = config_from_args(args)
     print(json.dumps({k: v for k, v in vars(args).items()}, indent=2, default=str))
 
     cfg.logger_name = os.path.join(cfg.rootpath, "model", cfg.postfix)
-    if check_to_skip(os.path.join(cfg.logger_name, "model_best.pth.tar"),
-                     cfg.overwrite):
-        sys.exit(0)
-    if check_to_skip(os.path.join(cfg.logger_name, "val_metric.txt"),
-                     cfg.overwrite):
-        sys.exit(0)
+    if cfg.auto_resume:
+        # elastic restart: a finished run (val_metric.txt) still skips, but
+        # a crashed run resumes from its newest epoch checkpoint instead of
+        # refusing because model_best.pth.tar exists
+        if check_to_skip(os.path.join(cfg.logger_name, "val_metric.txt"),
+                         cfg.overwrite):
+            sys.exit(0)
+        latest = _latest_epoch_checkpoint(cfg.logger_name)
+        if latest and not cfg.resume:
+            cfg.resume = latest
+            print("auto_resume: continuing from %s" % latest)
+    else:
+        if check_to_skip(os.path.join(cfg.logger_name, "model_best.pth.tar"),
+                         cfg.overwrite):
+            sys.exit(0)
+        if check_to_skip(os.path.join(cfg.logger_name, "val_metric.txt"),
+                         cfg.overwrite):
+            sys.exit(0)
     os.makedirs(cfg.logger_name, exist_ok=True)
     logging.basicConfig(format="%(asctime)s %(message)s", level=logging.INFO)
 
@@ -189,6 +223,8 @@ def main(argv=None):
     best_rsum, no_impr, lr_counter = 0.0, 0, 0
     best_epoch = None
     eiters = 0
+    start_epoch = 0
+    mlog = MetricsLog(cfg.logger_name)
 
     if cfg.resume:
         if os.path.isfile(cfg.resume):
@@ -197,6 +233,9 @@ def main(argv=None):
             state = state.replace(params=ckpt["model"]["params"],
                                   batch_stats=ckpt["model"]["batch_stats"])
             eiters = ckpt.get("Eiters", 0)
+            if cfg.auto_resume:
+                start_epoch = int(ckpt.get("epoch", 0))
+                best_rsum = float(ckpt.get("best_rsum", 0.0))
             print("=> loaded checkpoint (epoch %s, best_rsum %s)"
                   % (ckpt.get("epoch"), ckpt.get("best_rsum")))
             validate(model, state, loaders["val"], cfg)
@@ -208,7 +247,7 @@ def main(argv=None):
     encode_fn = make_encode_fn(model)
     val_loader = loaders.get(cfg.validate_split, loaders["test"])
 
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         # the reference constructs a fresh loss module each epoch
         # (trainer.py:342-354), resetting the contrastive queue: preserved
         state = state.replace(
@@ -220,6 +259,9 @@ def main(argv=None):
         print("=" * 23 + "Test Phase" + "=" * 25)
         print("=" * 58)
         score, metrics = validate(model, state, val_loader, cfg, encode_fn)
+        mlog.write({"epoch": epoch, "score": score, "lr": current_lr(state),
+                    "Eiters": int(state.step) + eiters,
+                    **{k: float(v) for k, v in metrics._asdict().items()}})
         is_best = score > best_rsum
         print(" * Current perf in Test: {}".format(score))
         print(" * Best perf in Test: {}".format(best_rsum))
