@@ -61,6 +61,7 @@ class Config:
     bert_intermediate_size: int = 3072
     bert_max_position: int = 512
     bert_type_vocab: int = 2
+    bert_remat: bool = False        # rematerialize BERT layers (saves HBM)
 
     # visual encoding
     video_feature: str = "resnet-152-img1k-flatten0_outputos"

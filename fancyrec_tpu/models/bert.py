@@ -35,6 +35,7 @@ class BertConfig:
     attention_probs_dropout_prob: float = 0.1
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
+    remat: bool = False   # rematerialize each layer (memory <-> FLOPs)
 
 
 def _dense(features, cfg, name):
@@ -74,7 +75,7 @@ class BertLayer(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, hidden, attn_bias, *, deterministic: bool = True):
+    def __call__(self, hidden, attn_bias, deterministic: bool = True):
         cfg = self.cfg
         ctx = BertSelfAttention(cfg, name="attention")(
             hidden, attn_bias, deterministic=deterministic)
@@ -119,9 +120,10 @@ class BertEncoder(nn.Module):
         mask = attention_mask.astype(jnp.float32)
         attn_bias = (1.0 - mask)[:, None, None, :] * jnp.finfo(jnp.float32).min
 
+        layer_cls = nn.remat(BertLayer, static_argnums=(3,)) if cfg.remat else BertLayer
         for i in range(cfg.num_hidden_layers):
-            hidden = BertLayer(cfg, name="layer_%d" % i)(
-                hidden, attn_bias, deterministic=deterministic)
+            hidden = layer_cls(cfg, name="layer_%d" % i)(
+                hidden, attn_bias, deterministic)
         return hidden
 
     # ------------------------------------------------------------------

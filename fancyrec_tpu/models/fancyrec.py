@@ -64,7 +64,8 @@ class FancyRec(nn.Module):
                         num_attention_heads=cfg.bert_num_heads,
                         intermediate_size=cfg.bert_intermediate_size,
                         max_position_embeddings=cfg.bert_max_position,
-                        type_vocab_size=cfg.bert_type_vocab),
+                        type_vocab_size=cfg.bert_type_vocab,
+                        remat=cfg.bert_remat),
                     kernel_num=cfg.text_kernel_num,
                     kernel_sizes=tuple(cfg.text_kernel_sizes_list),
                     mapping_out=cfg.text_mapping_size,

@@ -41,7 +41,11 @@ def _gru_scan(x_seq, h0, w_ih, w_hh, b_ih, b_hh):
     The input projection for all steps is one big batched matmul (MXU
     friendly); only the H x H recurrent product lives inside the scan.
     """
-    hidden = h0.shape[-1]
+    # compute in the activation dtype (params stay f32 in storage)
+    dt = x_seq.dtype
+    w_ih, w_hh = w_ih.astype(dt), w_hh.astype(dt)
+    b_ih, b_hh = b_ih.astype(dt), b_hh.astype(dt)
+    h0 = h0.astype(dt)
     # (T, B, 3H): precompute input contributions outside the scan
     xw = jnp.einsum("tbd,gd->tbg", x_seq, w_ih) + b_ih
 

@@ -95,12 +95,16 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 
 def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
                    block: int = 4096, use_pallas: bool = True,
-                   pvary_axis: Optional[str] = None
+                   pvary_axis: Optional[str] = None,
+                   score_dtype: jnp.dtype = jnp.float32
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k posts per brand without materializing the full score matrix.
 
     Returns (values (B, k), indices (B, k)), descending. Memory: O(B *
-    (block + k)) regardless of N.
+    (block + k)) regardless of N. score_dtype=bfloat16 halves the HBM
+    traffic of the scoring matmul (top-k merge stays f32); rankings may
+    differ on near-ties -- use for the large-index serving path, keep f32
+    for metric-parity evaluation.
     """
     b, d = brands.shape
     n = posts.shape[0]
@@ -110,14 +114,18 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
     posts_p = jnp.pad(posts, ((0, np_ - n), (0, 0)))
     pad_rows = jnp.arange(np_) >= n
     posts_p = jnp.where(pad_rows[:, None], 1.0, posts_p)
+    if score_dtype != jnp.float32:
+        posts_p = posts_p.astype(score_dtype)
     blocks = posts_p.reshape(nb, block, d)
     valid = (~pad_rows).reshape(nb, block)
+
+    brands_c = brands_n.astype(score_dtype)
 
     def scan_block(carry, inp):
         vals, idxs = carry
         blk, vmask, start = inp
         inv = jax.lax.rsqrt(jnp.sum(blk * blk, axis=1, keepdims=True))
-        scores = jnp.dot(brands_n, (blk * inv).T,
+        scores = jnp.dot(brands_c, ((blk * inv).astype(score_dtype)).T,
                          preferred_element_type=jnp.float32)
         scores = jnp.where(vmask[None, :], scores, -jnp.inf)
         cand_vals = jnp.concatenate([vals, scores], axis=1).astype(jnp.float32)

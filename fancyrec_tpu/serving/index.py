@@ -1,0 +1,170 @@
+"""Serving: persistent post-embedding indexes + brand -> top-k post query.
+
+The production shape of the reference's tester flow (tester.py:106-113
+re-encodes the split and materializes the whole score matrix every run):
+here encoding happens once into an on-disk index (a BigFile of post
+embeddings + a brand-label sidecar, so the index interoperates with every
+BigFile tool), and queries run the streaming top-k -- O(B*(block+k))
+memory regardless of index size, shardable over a device mesh for
+multi-chip serving.
+
+CLI:
+  fancyrec-index build --checkpoint ... --rootpath ... --collection ... out/
+  fancyrec-index query out/ --brands 0,3,7 --k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fancyrec_tpu.io.bigfile import BigFileReader, BigFileWriter
+from fancyrec_tpu.ops.similarity import retrieval_topk
+
+
+def build_index(checkpoint_path: str, rootpath: str, collection: str,
+                out_dir: str, batch_size: int = 128,
+                bert_vocab: str = "") -> int:
+    """Encode every post of a collection into an on-disk index."""
+    from fancyrec_tpu.data.dataset import PostDataset, load_info
+    from fancyrec_tpu.data.loader import BatchLoader
+    from fancyrec_tpu.data.tokenizer import WordPieceTokenizer
+    from fancyrec_tpu.eval.evaluator import encode_data, brand_embeddings
+    from fancyrec_tpu.io.bigfile import ImageBigFile
+    from fancyrec_tpu.io.dictfile import read_dict
+    from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
+    from fancyrec_tpu.models import FancyRec
+    from fancyrec_tpu.train import checkpoints
+
+    ckpt = checkpoints.load_any(checkpoint_path)
+    cfg = ckpt["config"]
+    cfg.rootpath = rootpath
+
+    video_feat = ImageBigFile(os.path.join(rootpath, collection, "FeatureData",
+                                           cfg.video_feature))
+    img_feat = ImageBigFile(os.path.join(rootpath, collection, "FeatureData",
+                                         cfg.img_feature))
+    video2frames = read_dict(os.path.join(
+        rootpath, collection, "FeatureData", cfg.video_feature,
+        "video2frames.txt"))
+    bow_vocab = load_vocab(os.path.join(
+        rootpath, cfg.trainCollection, "TextData", "vocabulary", "bow",
+        cfg.vocab + ".pkl"))
+    rnn_vocab = load_vocab(os.path.join(
+        rootpath, cfg.trainCollection, "TextData", "vocabulary", "rnn",
+        cfg.vocab + ".pkl"))
+    cfg.bow_vocab_size = len(bow_vocab)
+    cfg.vocab_size = len(rnn_vocab)
+    cfg.finalize()
+    tokenizer = None
+    if cfg.text_net == "transformers":
+        tokenizer = WordPieceTokenizer(
+            bert_vocab or cfg.bert_vocab
+            or os.path.join(rootpath, "bert_vocab.txt"))
+    img_info, cls_info = load_info(rootpath)
+
+    dataset = PostDataset(
+        os.path.join(rootpath, collection, "TextData",
+                     "%s.caption.txt" % collection),
+        video_feat, img_feat, Bow2Vec(bow_vocab), text_net=cfg.text_net,
+        rnn_vocab=rnn_vocab, tokenizer=tokenizer, video2frames=video2frames,
+        img_info=img_info, cls_info=cls_info, max_frames=cfg.max_frames,
+        max_tokens=cfg.max_tokens, max_words=cfg.max_words)
+    loader = BatchLoader(dataset, batch_size, final_batch="pad")
+
+    model = FancyRec(cfg)
+    params = ckpt["model"]["params"]
+    batch_stats = ckpt["model"].get("batch_stats", {})
+    brands, post_embs = encode_data(model, params, batch_stats, loader,
+                                    cfg.common_embedding_size)
+
+    # cap_ids contain '#' (the caption-id grammar), so the index store uses
+    # a tab-delimited id.txt -- same BigFile layout otherwise
+    with BigFileWriter(out_dir, ndims=cfg.common_embedding_size,
+                       delimiter="\t") as w:
+        w.write_batch(dataset.caps.cap_ids, post_embs)
+    np.save(os.path.join(out_dir, "brands.npy"), brands)
+    # precompute brand-tower embeddings so queries don't need the model
+    b_embs = np.asarray(brand_embeddings(model, params, cfg.brand_num))
+    np.save(os.path.join(out_dir, "brand_embeddings.npy"), b_embs)
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+        f.write(json.dumps({"collection": collection,
+                            "checkpoint": os.path.abspath(checkpoint_path),
+                            "brand_num": cfg.brand_num,
+                            "dim": cfg.common_embedding_size,
+                            "n_posts": len(dataset)}))
+    return len(dataset)
+
+
+class PostIndex:
+    """Query interface over a built index directory."""
+
+    def __init__(self, index_dir: str, device_resident: bool = True):
+        self.store = BigFileReader(index_dir, delimiter="\t")
+        self.cap_ids = self.store.names
+        self.brands = np.load(os.path.join(index_dir, "brands.npy"))
+        self.brand_embs = np.load(
+            os.path.join(index_dir, "brand_embeddings.npy"))
+        with open(os.path.join(index_dir, "index_meta.json")) as f:
+            self.meta = json.loads(f.read())
+        self._posts = None
+        if device_resident:
+            self._posts = jnp.asarray(
+                self.store.read_rows(np.arange(self.store.nr_of_rows)))
+
+    def posts(self) -> jnp.ndarray:
+        if self._posts is None:
+            self._posts = jnp.asarray(
+                self.store.read_rows(np.arange(self.store.nr_of_rows)))
+        return self._posts
+
+    def query(self, brand_ids: Sequence[int], k: int = 10,
+              block: int = 4096, score_dtype=jnp.float32
+              ) -> Tuple[np.ndarray, list]:
+        """-> (scores (B, k), [[cap_id, ...] per brand]) best-first."""
+        q = jnp.asarray(self.brand_embs[np.asarray(brand_ids)])
+        vals, idxs = retrieval_topk(q, self.posts(), k, block=block,
+                                    score_dtype=score_dtype)
+        idxs = np.asarray(idxs)
+        names = [[self.cap_ids[i] for i in row] for row in idxs]
+        return np.asarray(vals), names
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="post-embedding index tool")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build")
+    b.add_argument("out_dir")
+    b.add_argument("--checkpoint", required=True)
+    b.add_argument("--rootpath", required=True)
+    b.add_argument("--collection", required=True)
+    b.add_argument("--batch_size", type=int, default=128)
+    b.add_argument("--bert_vocab", default="")
+    q = sub.add_parser("query")
+    q.add_argument("index_dir")
+    q.add_argument("--brands", required=True,
+                   help="comma-separated brand ids")
+    q.add_argument("--k", type=int, default=10)
+    a = p.parse_args(argv)
+    if a.cmd == "build":
+        n = build_index(a.checkpoint, a.rootpath, a.collection, a.out_dir,
+                        a.batch_size, a.bert_vocab)
+        print(json.dumps({"indexed_posts": n, "out": a.out_dir}))
+    else:
+        index = PostIndex(a.index_dir)
+        ids = [int(x) for x in a.brands.split(",")]
+        vals, names = index.query(ids, k=a.k)
+        for b_id, v, n in zip(ids, vals, names):
+            print(json.dumps({"brand": b_id,
+                              "results": [{"post": pid, "score": round(float(s), 5)}
+                                          for pid, s in zip(n, v)]}))
+
+
+if __name__ == "__main__":
+    main()

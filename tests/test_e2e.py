@@ -76,3 +76,14 @@ def test_resume_from_checkpoint(root):
         "--resume", os.path.join(logdir, "model_best.pth.tar"),
     ])
     assert best > 450, best
+
+
+def test_train_bfloat16_towers(root):
+    """bf16 compute dtype trains and evaluates sanely."""
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_bf16",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "2",
+        "--dtype", "bfloat16",
+    ])
+    assert best > 400, best
