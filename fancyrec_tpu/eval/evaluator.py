@@ -5,7 +5,7 @@ replaced by the batched JAX kernel (fancyrec_tpu.eval.metrics)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

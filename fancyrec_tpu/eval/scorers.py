@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

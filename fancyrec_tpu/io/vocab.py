@@ -9,7 +9,6 @@ vectors with optional L1/L2 norm. Pickles written by the reference
 
 from __future__ import annotations
 
-import io as _io
 import os
 import pickle
 import re

@@ -18,8 +18,7 @@ from flax import linen as nn
 from fancyrec_tpu.models.bert import BertConfig, BertEncoder
 from fancyrec_tpu.models.gru import BiGRU
 from fancyrec_tpu.models.layers import (
-    MFC, AttentionPool, ConvBank, batch_max_len, l2norm, masked_mean,
-    xavier_uniform_torch)
+    MFC, AttentionPool, ConvBank, batch_max_len, l2norm, masked_mean)
 
 
 class VisualBatch(NamedTuple):

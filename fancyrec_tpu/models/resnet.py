@@ -19,8 +19,7 @@ numerically equivalent to the reference pipeline's.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

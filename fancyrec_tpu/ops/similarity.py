@@ -22,7 +22,6 @@ one-HBM-pass formulation and for larger brand counts. Streaming top-k runs
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -153,7 +152,7 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
     """Sharded top-k: each device scans its post shard, then a cross-shard
     all-gather + final top-k merge. posts_sharded: (N, D) sharded on axis 0
     over `axis`; returns replicated (values, global indices)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     n = posts_sharded.shape[0]

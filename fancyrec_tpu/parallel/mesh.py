@@ -18,7 +18,7 @@ Sharded parameters (everything else is replicated):
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from fancyrec_tpu.io.dictfile import read_dict
 from fancyrec_tpu.io.vocab import clean_str

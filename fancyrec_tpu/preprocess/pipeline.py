@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Dict, Optional
+from typing import Dict
 
 from fancyrec_tpu.io.dictfile import write_dict
 from fancyrec_tpu.preprocess import captions as C

@@ -19,7 +19,7 @@ import json
 import os
 import shutil
 import struct
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

@@ -13,7 +13,6 @@ is a single XLA program -- no host round-trips between microbatches.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import numpy as np
 
 from fancyrec_tpu.config import Config, build_train_parser, config_from_args
 from fancyrec_tpu.data.dataset import PostDataset, load_info
-from fancyrec_tpu.data.loader import BatchLoader, prefetch_to_device
+from fancyrec_tpu.data.loader import BatchLoader
 from fancyrec_tpu.data.tokenizer import WordPieceTokenizer
 from fancyrec_tpu.eval.evaluator import encode_data, make_encode_fn, test_post_ranking
 from fancyrec_tpu.eval.metrics import composite_score
