@@ -119,6 +119,7 @@ class Config:
     bert_weights: str = ""          # optional HF/torch BERT weight file to load
     validate_split: str = "test"    # reference validates on the *test* loader (trainer.py:283-288)
     auto_resume: bool = False       # resume from the latest epoch checkpoint after a crash
+    seq_shard: bool = False         # sequence-parallel time-axis sharding over 'model' 
 
     # -- derived at setup (reference trainer.py:154-234) --
     text_kernel_sizes_list: List[int] = field(default_factory=list)
@@ -270,6 +271,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--bert_weights", type=str, default=d.bert_weights)
     p.add_argument("--validate_split", type=str, default=d.validate_split)
     p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--seq_shard", action="store_true")
     return p
 
 

@@ -18,7 +18,8 @@ from flax import linen as nn
 from fancyrec_tpu.models.bert import BertConfig, BertEncoder
 from fancyrec_tpu.models.gru import BiGRU
 from fancyrec_tpu.models.layers import (
-    MFC, AttentionPool, ConvBank, batch_max_len, l2norm, masked_mean)
+    MFC, AttentionPool, ConvBank, batch_max_len, constrain_seq_sharding,
+    l2norm, masked_mean)
 
 
 class VisualBatch(NamedTuple):
@@ -54,6 +55,7 @@ class VisualEncoder(nn.Module):
     level: str = "1+2+3"
     norm: bool = False
     attn_fusion: bool = False   # fusion_style == 'attn' skips the mapping
+    seq_shard: bool = False     # sequence-parallel frame axis
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,6 +69,7 @@ class VisualEncoder(nn.Module):
 
         gru_seq = BiGRU(self.rnn_size, packed=False, dtype=self.dtype,
                         name="rnn")(v.frames, batch_len=bl)
+        gru_seq = constrain_seq_sharding(gru_seq, self.seq_shard)
         gru_out = masked_mean(gru_seq, mask)
         gru_out = nn.Dropout(self.dropout, deterministic=deterministic)(gru_out)
 
@@ -175,6 +178,7 @@ class TextTransformersEncoder(nn.Module):
     level: str = "1+2+3"
     norm: bool = False
     attn_fusion: bool = False
+    seq_shard: bool = False     # sequence-parallel token axis
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -185,6 +189,7 @@ class TextTransformersEncoder(nn.Module):
         org_out = t.bows
         last_hidden = BertEncoder(self.bert, name="bert")(
             t.tokens, t.type_ids, mask, deterministic=deterministic)
+        last_hidden = constrain_seq_sharding(last_hidden, self.seq_shard)
         tf_out = masked_mean(last_hidden, mask.astype(last_hidden.dtype))
 
         # zero static padding beyond the batch-max token count: those

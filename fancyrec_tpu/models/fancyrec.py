@@ -43,7 +43,8 @@ class FancyRec(nn.Module):
                 kernel_sizes=tuple(cfg.visual_kernel_sizes_list),
                 mapping_out=cfg.visual_mapping_size,
                 dropout=cfg.dropout, concate=cfg.concate, level=cfg.level_vis,
-                norm=cfg.visual_norm, attn_fusion=attn_fusion, dtype=dtype)
+                norm=cfg.visual_norm, attn_fusion=attn_fusion,
+                seq_shard=cfg.seq_shard, dtype=dtype)
 
         if not cfg.single_modal_visual:
             if cfg.text_net == "bi-gru":
@@ -71,7 +72,8 @@ class FancyRec(nn.Module):
                     mapping_out=cfg.text_mapping_size,
                     dropout=cfg.dropout, concate=cfg.concate,
                     level=cfg.level_txt, norm=cfg.text_norm,
-                    attn_fusion=attn_fusion, dtype=dtype)
+                    attn_fusion=attn_fusion, seq_shard=cfg.seq_shard,
+                    dtype=dtype)
             else:
                 raise ValueError("unknown text_net: %s" % cfg.text_net)
 

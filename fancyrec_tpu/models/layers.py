@@ -34,6 +34,29 @@ def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
     return x / (norm + eps)
 
 
+def constrain_seq_sharding(x: jnp.ndarray, enabled: bool) -> jnp.ndarray:
+    """Sequence-parallel annotation: shard a (B, T, D) activation's time
+    axis over the 'model' mesh axis (GSPMD inserts the collectives around
+    attention/convs). No-op when disabled, when no mesh is in context, or
+    when the static dims don't divide the mesh axes (e.g. init dummies)."""
+    if not enabled:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty or not {"data", "model"} <= set(mesh.axis_names):
+        return x
+    sizes = dict(zip(mesh.axis_names, mesh.axis_sizes))
+    spec = [None, None, None]
+    if x.shape[0] % sizes["data"] == 0:
+        spec[0] = "data"
+    if x.shape[1] % sizes["model"] == 0:
+        spec[1] = "model"
+    if spec == [None, None, None]:
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def batch_max_len(mask: jnp.ndarray) -> jnp.ndarray:
     """Dynamic max valid length over the batch from a (B, T) 0/1 mask."""
     return jnp.max(jnp.sum(mask, axis=1)).astype(jnp.int32)

@@ -21,7 +21,7 @@ import numpy as np
 
 from fancyrec_tpu.config import Config, build_train_parser, config_from_args
 from fancyrec_tpu.data.dataset import PostDataset, load_info
-from fancyrec_tpu.data.loader import BatchLoader
+from fancyrec_tpu.data.loader import BatchLoader, prefetch_to_device
 from fancyrec_tpu.data.tokenizer import WordPieceTokenizer
 from fancyrec_tpu.eval.evaluator import encode_data, make_encode_fn, test_post_ranking
 from fancyrec_tpu.eval.metrics import composite_score
@@ -109,24 +109,36 @@ def validate(model, state, loader, cfg: Config, encode_fn=None):
     return composite_score(m), m
 
 
+def _superbatches(loader, accumulation_step: int):
+    """Group loader batches into stacked super-batches of A microbatches.
+
+    The trailing partial group is skipped: the reference only steps the
+    optimizer on full accumulation groups (trainer.py:382-386); its
+    leftover backward passes never reach a step (documented deviation,
+    affects < accum_step batches/epoch)."""
+    group = []
+    for batch in loader:
+        group.append(batch)
+        if len(group) == accumulation_step:
+            yield stack_microbatches(group)
+            group = []
+
+
 def train_epoch(train_step, state, loader, accumulation_step: int,
                 epoch: int, num_epochs: int):
     print("Epoch[{0} / {1}] LR: {2}".format(
         epoch, num_epochs, current_lr(state)))
     losses = []
-    group = []
     t0 = time.time()
     n_items = 0
-    for batch in loader:
-        group.append(batch)
-        if len(group) == accumulation_step:
-            state, metrics = train_step(state, stack_microbatches(group))
-            losses.append(float(metrics["loss"]))
-            n_items += sum(b["frames"].shape[0] for b in group)
-            group = []
-    # trailing partial group: keep reference behavior loosely -- the
-    # reference backward-accumulates them but only steps on full groups;
-    # we skip them (documented deviation, affects < accum_step batches/epoch)
+    # background thread assembles + stages the next super-batches on device
+    # while the current step runs (host gather <-> TPU compute overlap)
+    stream = prefetch_to_device(_superbatches(loader, accumulation_step),
+                                size=2)
+    for superbatch in stream:
+        state, metrics = train_step(state, superbatch)
+        losses.append(float(metrics["loss"]))
+        n_items += superbatch["frames"].shape[0] * superbatch["frames"].shape[1]
     dt = time.time() - t0
     if losses:
         print("epoch %d: mean loss %.4f  (%d updates, %.1f posts/s)"

@@ -154,3 +154,18 @@ def test_prefetch_to_device(fixture_root):
     out = list(prefetch_to_device(iter(loader), size=2))
     assert len(out) == len(loader)
     assert hasattr(out[0]["frames"], "devices")  # on-device arrays
+
+
+def test_prefetch_is_deterministic(fixture_root):
+    """The threaded prefetch path must yield byte-identical batches to the
+    synchronous iteration (no race-dependent batch assembly)."""
+    ds = _build_dataset(fixture_root)
+    sync = [b for b in BatchLoader(ds, batch_size=4, shuffle=True, seed=7,
+                                   final_batch="drop")]
+    pre = list(prefetch_to_device(
+        iter(BatchLoader(ds, batch_size=4, shuffle=True, seed=7,
+                         final_batch="drop")), size=3))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
