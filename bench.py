@@ -91,6 +91,49 @@ def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
     return n_posts / (time.perf_counter() - t0)
 
 
+def bench_eval(n_posts: int = 4096, iters: int = 3) -> dict:
+    """Full-eval wall time at recipe dims: encode every post through the
+    jitted eval forward (batch 128), then brands x posts ranking metrics.
+    Returns posts/sec encode throughput and the metric-kernel time."""
+    import __graft_entry__ as g
+    from fancyrec_tpu.eval.evaluator import make_encode_fn
+    from fancyrec_tpu.eval.metrics import cosine_sim_matrix, ranking_metrics_jax
+    from fancyrec_tpu.models import FancyRec
+    from fancyrec_tpu.train.state import init_state
+
+    cfg = g._flagship_cfg()
+    cfg.batch_size = 128
+    model, state = init_state(cfg)
+    encode = make_encode_fn(model)
+    rng = np.random.RandomState(0)
+    batch = {k: v for k, v in g._example_batch(cfg, cfg.batch_size, rng).items()}
+    n_batches = n_posts // cfg.batch_size
+
+    _ = np.asarray(encode(state.params, state.batch_stats, batch)[0])  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = encode(state.params, state.batch_stats, batch)
+    _ = np.asarray(out[0])
+    encode_dt = time.perf_counter() - t0
+
+    # ranking metrics over the full index
+    key = jax.random.PRNGKey(0)
+    post_embs = jax.random.normal(key, (n_posts, cfg.common_embedding_size))
+    brand_embs = jax.random.normal(key, (cfg.brand_num, cfg.common_embedding_size))
+    brands = jax.random.randint(key, (n_posts,), 0, cfg.brand_num)
+    metric_fn = jax.jit(lambda be, pe, br: ranking_metrics_jax(
+        cosine_sim_matrix(be, pe), br, cfg.brand_num))
+    _ = [float(x) for x in metric_fn(brand_embs, post_embs, brands)]  # compile
+    t0 = time.perf_counter()
+    m = metric_fn(brand_embs, post_embs, brands)
+    _ = [float(x) for x in m]
+    metric_dt = time.perf_counter() - t0
+
+    return {"encode_posts_per_sec": n_batches * cfg.batch_size / encode_dt,
+            "metric_kernel_ms": metric_dt * 1e3,
+            "n_posts": n_posts}
+
+
 def main():
     mode = "resnet"
     args = sys.argv[1:]
@@ -119,8 +162,17 @@ def main():
             "value": round(pps / 1e6, 2), "unit": "Mposts/sec/chip",
             "vs_baseline": None,
         }))
+    elif mode == "eval":
+        r = bench_eval()
+        print(json.dumps({
+            "metric": "eval_encode_throughput_recipe_config",
+            "value": round(r["encode_posts_per_sec"], 1),
+            "unit": "posts/sec/chip",
+            "vs_baseline": None,
+            "metric_kernel_ms": round(r["metric_kernel_ms"], 1),
+        }))
     else:
-        raise SystemExit("usage: bench.py [resnet [batch]|train|retrieval]")
+        raise SystemExit("usage: bench.py [resnet [batch]|train|retrieval|eval]")
 
 
 if __name__ == "__main__":

@@ -31,7 +31,11 @@ _MAGIC = b"FRTPU1\n"
 
 
 def save_checkpoint(path: str, cfg: Config, params, batch_stats,
-                    epoch: int, best_rsum: float, eiters: int) -> None:
+                    epoch: int, best_rsum: float, eiters: int,
+                    opt_state=None) -> None:
+    """opt_state (optional): full optimizer moments, so an elastic resume
+    continues the exact Adam trajectory (the reference drops optimizer
+    state on resume, trainer.py:262-279)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "model": serialization.to_bytes(
@@ -39,11 +43,14 @@ def save_checkpoint(path: str, cfg: Config, params, batch_stats,
              "batch_stats": jax.device_get(batch_stats)}),
         "config": cfg.to_json().encode(),
         "meta": json.dumps({"epoch": epoch, "best_rsum": best_rsum,
-                            "Eiters": eiters}).encode(),
+                            "Eiters": eiters,
+                            "has_opt_state": opt_state is not None}).encode(),
+        "opt": (serialization.to_bytes(jax.device_get(opt_state))
+                if opt_state is not None else b""),
     }
     with open(path, "wb") as f:
         f.write(_MAGIC)
-        for key in ("config", "meta", "model"):
+        for key in ("config", "meta", "model", "opt"):
             blob = payload[key]
             f.write(struct.pack("<Q", len(blob)))
             f.write(blob)
@@ -55,8 +62,11 @@ def load_checkpoint(path: str, template=None) -> Dict[str, Any]:
         if magic != _MAGIC:
             raise ValueError("not a fancyrec-tpu checkpoint: %s" % path)
         blobs = []
-        for _ in range(3):
-            (n,) = struct.unpack("<Q", f.read(8))
+        while True:
+            size = f.read(8)
+            if len(size) < 8:
+                break
+            (n,) = struct.unpack("<Q", size)
             blobs.append(f.read(n))
     cfg = Config.from_json(blobs[0].decode())
     meta = json.loads(blobs[1].decode())
@@ -64,22 +74,35 @@ def load_checkpoint(path: str, template=None) -> Dict[str, Any]:
         model_state = serialization.from_bytes(template, blobs[2])
     else:
         model_state = serialization.msgpack_restore(blobs[2])
-    return {"config": cfg, "model": model_state, **meta}
+    out = {"config": cfg, "model": model_state, **meta}
+    if meta.get("has_opt_state") and len(blobs) > 3 and blobs[3]:
+        out["opt_state_bytes"] = blobs[3]
+    return out
 
 
 def maybe_save_best(state_dir: str, cfg: Config, params, batch_stats,
                     epoch: int, score: float, best_rsum: float,
-                    eiters: int, best_epoch: Optional[int]) -> float:
+                    eiters: int, best_epoch: Optional[int],
+                    opt_state=None) -> float:
     """Reference checkpoint policy (trainer.py:417-422): save the epoch file
     when score > best*0.99 (or no best yet), copy to model_best on
     improvement, return the new best."""
     filename = os.path.join(state_dir, "checkpoint_epoch_%s.pth.tar" % epoch)
     if best_epoch is None or score > best_rsum * 0.99:
         save_checkpoint(filename, cfg, params, batch_stats, epoch + 1,
-                        score, eiters)
+                        score, eiters, opt_state=opt_state)
     if score > best_rsum:
         shutil.copyfile(filename, os.path.join(state_dir, "model_best.pth.tar"))
     return max(score, best_rsum)
+
+
+def restore_opt_state(ckpt: Dict[str, Any], opt_state_template):
+    """Deserialize the saved optimizer moments onto a freshly-built
+    opt_state pytree (returns the template unchanged if absent)."""
+    blob = ckpt.get("opt_state_bytes")
+    if not blob:
+        return opt_state_template, False
+    return serialization.from_bytes(opt_state_template, blob), True
 
 
 def load_any(path: str, cfg_hint: Optional[Config] = None) -> Dict[str, Any]:

@@ -244,6 +244,11 @@ def main(argv=None):
             ckpt = checkpoints.load_any(cfg.resume)
             state = state.replace(params=ckpt["model"]["params"],
                                   batch_stats=ckpt["model"]["batch_stats"])
+            new_opt, restored = checkpoints.restore_opt_state(
+                ckpt, state.opt_state)
+            if restored:
+                state = state.replace(opt_state=new_opt)
+                print("=> optimizer state restored (exact Adam trajectory)")
             eiters = ckpt.get("Eiters", 0)
             if cfg.auto_resume:
                 start_epoch = int(ckpt.get("epoch", 0))
@@ -280,7 +285,8 @@ def main(argv=None):
 
         best_rsum = checkpoints.maybe_save_best(
             cfg.logger_name, cfg, state.params, state.batch_stats,
-            epoch, score, best_rsum, int(state.step) + eiters, best_epoch)
+            epoch, score, best_rsum, int(state.step) + eiters, best_epoch,
+            opt_state=state.opt_state)
         if is_best:
             best_epoch = epoch
 
