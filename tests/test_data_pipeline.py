@@ -169,3 +169,18 @@ def test_prefetch_is_deterministic(fixture_root):
     for a, b in zip(sync, pre):
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_wordpiece_edge_cases_match_hf(wp_vocab):
+    from transformers import BertTokenizer
+    hf = BertTokenizer(wp_vocab, do_lower_case=True)
+    ours = WordPieceTokenizer(wp_vocab)
+    cases = [
+        "汽车 drives fast",          # CJK chars -> per-char tokens ([UNK] here)
+        "!!!",                        # punctuation only
+        "CAR\tfast\ncar",            # control whitespace
+        "a" * 150,                    # > max_chars_per_word -> [UNK]
+        "don't stop",                # apostrophe splitting
+    ]
+    for text in cases:
+        assert ours.encode(text) == hf.encode(text), text

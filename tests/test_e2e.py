@@ -87,3 +87,17 @@ def test_train_bfloat16_towers(root):
         "--dtype", "bfloat16",
     ])
     assert best > 400, best
+
+
+def test_validate_split_val_fix(root):
+    """--validate_split val fixes the reference's model-selection-on-test
+    quirk; the run must still train and checkpoint normally."""
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_valsel",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "1",
+        "--validate_split", "val",
+    ])
+    assert best > 0
+    assert os.path.exists(os.path.join(root, "model", "run_valsel",
+                                       "model_best.pth.tar"))

@@ -68,3 +68,46 @@ def test_distributed_eval_matches_single_device():
 
     for a, b in zip(single, multi):
         np.testing.assert_allclose(float(a), float(b), atol=1e-5)
+
+
+def test_sharded_step_matches_unsharded():
+    """One full train step: dp+tp+sp sharded over the 8-device mesh must
+    produce the same loss and parameters as the single-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from fancyrec_tpu.parallel.mesh import build_mesh, shard_batch, shard_state
+    from fancyrec_tpu.train.state import init_state, make_optimizer
+    from fancyrec_tpu.train.step import make_train_step, stack_microbatches
+
+    def run(sharded):
+        cfg = g._flagship_cfg(tiny=True)
+        cfg.seq_shard = sharded
+        rng = np.random.RandomState(0)
+        micro = [{k: np.asarray(v) for k, v in
+                  g._example_batch(cfg, cfg.batch_size, rng).items()}
+                 for _ in range(cfg.accumulation_step)]
+        sb = stack_microbatches(micro)
+        if sharded:
+            mesh = build_mesh("4,2")
+            with jax.set_mesh(mesh):
+                model, state = init_state(cfg)
+                step = make_train_step(model, cfg, make_optimizer(cfg))
+                state = shard_state(mesh, state)
+                sb = shard_batch(mesh, sb, batch_axis=1)
+                state, metrics = step(state, sb)
+                return (float(metrics["loss"]), float(metrics["grad_norm"]),
+                        jax.device_get(state.params))
+        model, state = init_state(cfg)
+        step = make_train_step(model, cfg, make_optimizer(cfg))
+        state, metrics = step(state, sb)
+        return (float(metrics["loss"]), float(metrics["grad_norm"]),
+                jax.device_get(state.params))
+
+    loss_s, gn_s, params_s = run(True)
+    loss_u, gn_u, params_u = run(False)
+    assert loss_s == pytest.approx(loss_u, rel=1e-5)
+    assert gn_s == pytest.approx(gn_u, rel=1e-4)
+    for a, b in zip(jax.tree.leaves(params_s), jax.tree.leaves(params_u)):
+        np.testing.assert_allclose(a, b, atol=5e-6, rtol=5e-5)
