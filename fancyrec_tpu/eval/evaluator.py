@@ -43,6 +43,8 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
     n = len(loader.dataset)
     post_embs = np.zeros((n, common_dim), np.float32)
     brands = np.zeros(n, np.int32)
+    from fancyrec_tpu.utils.meters import Progress
+    progress = Progress(n, label="encode")
     for batch in loader:
         embs = np.asarray(encode_fn(params, batch_stats, batch))
         k = batch["n_valid"]
@@ -52,7 +54,7 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
         # values, so scattering all rows is safe; n_valid kept for clarity
         post_embs[idxs] = embs
         brands[idxs] = batch["brand_ids"]
-        del k
+        progress.add(k)
     return brands, post_embs
 
 

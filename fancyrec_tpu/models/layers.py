@@ -159,6 +159,11 @@ class BatchNorm1dTorch(nn.Module):
     Running stats live in the 'batch_stats' collection; train mode uses
     batch statistics (biased variance) and updates running stats with the
     unbiased variance, exactly like torch.nn.BatchNorm1d.
+
+    Data parallelism: the mean/var are jnp reductions over the *logical*
+    batch axis, so under GSPMD batch sharding XLA computes them across all
+    replicas -- synchronized cross-replica BatchNorm for free (verified by
+    the sharded-vs-unsharded train-step equality test).
     """
 
     features: int

@@ -11,6 +11,12 @@ ours restore anywhere).
 load_any() also ingests *reference torch checkpoints* directly: the
 list-form state dict is converted via fancyrec_tpu.models.torch_import, so
 GPU-trained reference models evaluate on TPU.
+
+Why not Orbax: single-file artifacts with the reference's exact names and
+an embedded config make the tester/workflow parity trivial and keep the
+torch-ingestion path symmetric; flax.serialization gives the same
+device-agnostic restore guarantees at this model size. Orbax would add
+sharded/async saving which matters only far beyond this state size.
 """
 
 from __future__ import annotations
