@@ -116,19 +116,53 @@ class PostDataset:
 
         self.ndims = (video_feat or img_feat).ndims
 
+        # Precompute all text features once: captions are immutable, so the
+        # per-batch cost collapses to pure array gathers (the per-item
+        # Python BoW/tokenize work was the host-side bottleneck -- 1 CPU
+        # core vs a TPU that steps in ~60 ms).
+        n = len(self.caps)
+        self._sort_keys = np.zeros(n, np.int64)
+        if self.bow2vec is not None:
+            self._bow_cache = np.zeros((n, self.bow2vec.ndims), np.float32)
+        else:
+            self._bow_cache = np.zeros((n, 0), np.float32)
+        if self.text_net == "transformers":
+            self._tok_cache = np.zeros((n, max_tokens), np.int32)
+            self._tmask_cache = np.zeros((n, max_tokens), np.int32)
+        else:
+            self._tok_cache = np.zeros((n, max_words), np.int32)
+            self._tmask_cache = np.zeros((n, max_words), np.int32)
+        for i, cap_id in enumerate(self.caps.cap_ids):
+            cap = self.caps.captions[cap_id]
+            toks = clean_str(cap)
+            if self.bow2vec is not None:
+                vec = self.bow2vec.mapping(cap)
+                if vec is not None:
+                    self._bow_cache[i] = vec
+            if self.text_net == "transformers":
+                # collate_frame_transformers_fn sorts by len of the cleaned
+                # caption string handed to the tokenizer
+                # (data_provider.py:28-29,267-269)
+                cleaned = " ".join(toks)
+                self._sort_keys[i] = len(cleaned)
+                ids = self.tokenizer.encode(cleaned, max_length=max_tokens)
+                self._tok_cache[i, : len(ids)] = ids
+                self._tmask_cache[i, : len(ids)] = 1
+            else:
+                v = self.rnn_vocab
+                ids = ([v("<start>")] + [v(t) for t in toks]
+                       + [v("<end>")])[: max_words]
+                self._sort_keys[i] = len(toks) + 2
+                self._tok_cache[i, : len(ids)] = ids
+                self._tmask_cache[i, : len(ids)] = 1
+
     def __len__(self):
         return len(self.caps)
 
     # ------------------------------------------------------------------
 
     def _caption_sort_key(self, idx: int) -> int:
-        cap = self.caps.captions[self.caps.cap_ids[idx]]
-        if self.text_net == "transformers":
-            # collate_frame_transformers_fn sorts by len of the raw caption
-            # string handed to the tokenizer (data_provider.py:28-29,267-269)
-            return len(" ".join(clean_str(cap)))
-        toks = clean_str(cap)
-        return len(toks) + 2  # <start> ... <end>
+        return int(self._sort_keys[idx])
 
     def gather_batch(self, indices: Sequence[int], pad_to: Optional[int] = None
                      ) -> Dict[str, np.ndarray]:
@@ -170,33 +204,12 @@ class PostDataset:
             origin[bi] = rows.mean(axis=0)  # mean over ALL frames (uncapped)
             vmask[bi, :end] = 1.0
 
-        # ---- text ----
-        captions = [self.caps.captions[self.caps.cap_ids[i]] for i in indices]
-        bows = np.zeros((b, self.bow2vec.ndims if self.bow2vec else 0),
-                        np.float32)
-        if self.bow2vec is not None:
-            for bi, cap in enumerate(captions):
-                vec = self.bow2vec.mapping(cap)
-                if vec is not None:
-                    bows[bi] = vec
-
-        if self.text_net == "transformers":
-            cleaned = [" ".join(clean_str(c)) for c in captions]
-            enc = self.tokenizer.batch_encode(cleaned, max_length=self.max_tokens,
-                                              pad_to=self.max_tokens)
-            tokens = enc["input_ids"]
-            type_ids = enc["token_type_ids"]
-            tmask = enc["attention_mask"]
-        else:
-            tokens = np.zeros((b, self.max_words), np.int32)
-            tmask = np.zeros((b, self.max_words), np.int32)
-            type_ids = np.zeros_like(tokens)
-            v = self.rnn_vocab
-            for bi, cap in enumerate(captions):
-                ids = ([v("<start>")] + [v(t) for t in clean_str(cap)]
-                       + [v("<end>")])[: self.max_words]
-                tokens[bi, : len(ids)] = ids
-                tmask[bi, : len(ids)] = 1
+        # ---- text: pure gathers from the init-time caches ----
+        sel = np.array(indices)
+        bows = self._bow_cache[sel]
+        tokens = self._tok_cache[sel]
+        tmask = self._tmask_cache[sel]
+        type_ids = np.zeros_like(tokens)
 
         return {
             "brand_ids": self.brand_ids[np.array(indices)],

@@ -119,8 +119,7 @@ def test_dataset_resolves_brands_and_features(fixture_root):
 
 
 def test_dataset_rnn_tokens(fixture_root):
-    ds = _build_dataset(fixture_root)
-    ds.text_net = "bi-gru"
+    ds = _build_dataset(fixture_root, text_net="bi-gru")
     batch = ds.gather_batch([0, 1, 2])
     v = ds.rnn_vocab
     for bi in range(3):
