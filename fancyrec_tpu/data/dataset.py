@@ -122,10 +122,11 @@ class PostDataset:
         # core vs a TPU that steps in ~60 ms).
         n = len(self.caps)
         self._sort_keys = np.zeros(n, np.int64)
-        if self.bow2vec is not None:
-            self._bow_cache = np.zeros((n, self.bow2vec.ndims), np.float32)
-        else:
-            self._bow_cache = np.zeros((n, 0), np.float32)
+        # BoW stored sparsely (a dense cache would be n x vocab ~ GBs at
+        # insCar scale); densified per batch with one np.add.at scatter
+        self._bow_dim = self.bow2vec.ndims if self.bow2vec else 0
+        self._bow_idx: List[np.ndarray] = []
+        self._bow_val: List[np.ndarray] = []
         if self.text_net == "transformers":
             self._tok_cache = np.zeros((n, max_tokens), np.int32)
             self._tmask_cache = np.zeros((n, max_tokens), np.int32)
@@ -138,7 +139,15 @@ class PostDataset:
             if self.bow2vec is not None:
                 vec = self.bow2vec.mapping(cap)
                 if vec is not None:
-                    self._bow_cache[i] = vec
+                    nz = np.nonzero(vec)[0]
+                    self._bow_idx.append(nz.astype(np.int32))
+                    self._bow_val.append(vec[nz].astype(np.float32))
+                else:
+                    self._bow_idx.append(np.zeros(0, np.int32))
+                    self._bow_val.append(np.zeros(0, np.float32))
+            else:
+                self._bow_idx.append(np.zeros(0, np.int32))
+                self._bow_val.append(np.zeros(0, np.float32))
             if self.text_net == "transformers":
                 # collate_frame_transformers_fn sorts by len of the cleaned
                 # caption string handed to the tokenizer
@@ -206,7 +215,13 @@ class PostDataset:
 
         # ---- text: pure gathers from the init-time caches ----
         sel = np.array(indices)
-        bows = self._bow_cache[sel]
+        bows = np.zeros((b, self._bow_dim), np.float32)
+        if self._bow_dim:
+            rows = np.concatenate([np.full(len(self._bow_idx[i]), bi, np.int32)
+                                   for bi, i in enumerate(indices)])
+            cols = np.concatenate([self._bow_idx[i] for i in indices])
+            vals = np.concatenate([self._bow_val[i] for i in indices])
+            bows[rows, cols] = vals
         tokens = self._tok_cache[sel]
         tmask = self._tmask_cache[sel]
         type_ids = np.zeros_like(tokens)
