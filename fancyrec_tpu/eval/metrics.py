@@ -140,26 +140,36 @@ def _dcg_weights(k: int) -> np.ndarray:
 
 def _per_brand_stats(s: jnp.ndarray, brands: jnp.ndarray, b: jnp.ndarray,
                      w10: jnp.ndarray, w50: jnp.ndarray):
-    """Metrics for one brand row. s: (N,) scores; brands: (N,) labels."""
+    """Metrics for one brand row. s: (N,) scores; brands: (N,) labels.
+
+    Only one O(N log N) sort (the AUC order statistics); NDCG uses
+    lax.top_k(50) and the first-positive rank is computed by counting,
+    both tie-consistent with a stable descending sort (lower original
+    index wins ties, matching the oracle's Python sorted())."""
     n = s.shape[0]
     pos_mask = brands == b
     p_cnt = jnp.sum(pos_mask)
     n_cnt = n - p_cnt
 
-    # --- AUC via order statistics: strict "neg < pos" counting ---
-    sorted_all = jnp.sort(s)
-    # positives replaced by +inf => first p_cnt' entries of the sort are negs
-    neg_sorted = jnp.sort(jnp.where(pos_mask, jnp.inf, s))
-    # for each positive score p: #neg strictly below p
-    cnt_neg_below = jnp.searchsorted(neg_sorted, s, side="left")
-    auc_num = jnp.sum(jnp.where(pos_mask, cnt_neg_below, 0))
+    # --- AUC via one co-sort + prefix counts (strict "neg < pos") ---
+    # searchsorted lowers to per-query binary-search gathers (slow on TPU);
+    # instead co-sort (score, is_neg) ascending and count negatives before
+    # each tie group with O(N) scans.
+    isneg = (~pos_mask).astype(jnp.int32)
+    vals, isneg_s = jax.lax.sort((s, isneg), dimension=0, num_keys=1)
+    neg_prefix = jnp.cumsum(isneg_s) - isneg_s       # negs strictly before i
+    idx = jnp.arange(n)
+    changed = jnp.concatenate([jnp.ones(1, bool), vals[1:] != vals[:-1]])
+    first_occ = jax.lax.cummax(jnp.where(changed, idx, 0))
+    cnt_neg_below = neg_prefix[first_occ]            # negs with score < vals[i]
+    auc_num = jnp.sum(jnp.where(isneg_s == 0, cnt_neg_below, 0))
     auc = auc_num / jnp.maximum(p_cnt * n_cnt, 1)
 
-    # --- stable descending order ---
-    order = jnp.argsort(-s, stable=True)
-    rel = (brands[order] == b).astype(jnp.float32)
-
-    rel50 = jax.lax.dynamic_slice_in_dim(rel, 0, min(_NDCG_KMAX, n))
+    # --- NDCG@10/50 from the top-k only (lax.top_k breaks ties by lower
+    # index, same as the stable descending order) ---
+    k = min(_NDCG_KMAX, n)
+    _, top_idx = jax.lax.top_k(s, k)
+    rel50 = (brands[top_idx] == b).astype(jnp.float32)
     dcg10 = jnp.sum(rel50[:10] * w10[: rel50[:10].shape[0]])
     dcg50 = jnp.sum(rel50 * w50[: rel50.shape[0]])
 
@@ -171,7 +181,15 @@ def _per_brand_stats(s: jnp.ndarray, brands: jnp.ndarray, b: jnp.ndarray,
     ndcg10 = jnp.where(idcg10 > 0, dcg10 / jnp.maximum(idcg10, 1e-30), 0.0)
     ndcg50 = jnp.where(idcg50 > 0, dcg50 / jnp.maximum(idcg50, 1e-30), 0.0)
 
-    rank_first = jnp.argmax(rel)  # first positive position (0 if none; gated later)
+    # --- first-positive rank by counting (no argsort): entries strictly
+    # above the best positive score, plus equal-score entries whose
+    # original index precedes the first best positive ---
+    masked = jnp.where(pos_mask, s, -jnp.inf)
+    p_star = jnp.max(masked)
+    idx_star = jnp.argmax(masked)
+    ahead = jnp.sum(s > p_star) + jnp.sum(
+        (s == p_star) & (jnp.arange(n) < idx_star))
+    rank_first = ahead  # 0 when no positives exist; gated by `valid`
     valid = p_cnt > 0
     return valid, rank_first, auc, ndcg10, ndcg50
 
