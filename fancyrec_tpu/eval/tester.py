@@ -59,6 +59,16 @@ def main(argv=None):
     cfg.rootpath = opt.rootpath
     testCollection = opt.testCollection
 
+    # output-dir derivation + overwrite guard (reference tester.py:69-75)
+    output_dir = resume.replace(cfg.trainCollection, testCollection)
+    output_dir = output_dir.replace("/%s/" % cfg.cv_name,
+                                    "/results/%s/" % cfg.trainCollection)
+    result_file = os.path.join(os.path.dirname(output_dir),
+                               "mean_metrics.json")
+    if os.path.exists(result_file) and not opt.overwrite:
+        print("%s exists. skip" % result_file)
+        sys.exit(0)
+
     root = opt.rootpath
     video_feat = ImageBigFile(os.path.join(root, testCollection, "FeatureData",
                                            cfg.video_feature))
@@ -113,6 +123,9 @@ def main(argv=None):
     print("recall@10:", m.r10)
     print("MedR:", m.medr)
     print("MeanR:", m.meanr)
+    os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
+    with open(result_file, "w") as f:
+        f.write(json.dumps({k: float(v) for k, v in m._asdict().items()}))
     return m
 
 
