@@ -74,17 +74,54 @@ class Bottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class _StemKernel(nn.Module):
+    """Holds the 7x7x3x64 stem kernel under the torchvision-compatible
+    param path conv1/kernel, independent of which stem path consumes it."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
 class ResNetFeatures(nn.Module):
-    """images (B, H, W, 3) float -> (B, 2048) features (post-avgpool)."""
+    """images (B, H, W, 3) float -> (B, 2048) features (post-avgpool).
+
+    stem_s2d: space-to-depth stem (the classic TPU ResNet trick): the
+    7x7/stride-2 conv over 3 channels badly underfills the MXU's 128-lane
+    input axis, so the input is rearranged into 2x2 blocks (12 channels)
+    and the kernel zero-padded to 8x8 and folded to 4x4x12 -- numerically
+    identical output (verified to 1e-5 in tests), better lane utilization.
+    """
 
     blocks: Sequence[int] = RESNET152_BLOCKS
     dtype: Any = jnp.bfloat16
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        kernel = _StemKernel(name="conv1")().astype(self.dtype)
+        if self.stem_s2d:
+            b, h, w, _ = x.shape
+            # kernel: zero tap row/col at the top-left -> (8,8,3,64) -> (4,4,12,64)
+            kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            kt = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+            kt = kt.reshape(4, 4, 12, 64)
+            # input: pad to coords -4..H+3, then 2x2 blocks -> 12 channels
+            xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+            xt = xp.reshape(b, (h + 8) // 2, 2, (w + 8) // 2, 2, 3)
+            xt = xt.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, (h + 8) // 2, (w + 8) // 2, 12)
+            x = jax.lax.conv_general_dilated(
+                xt, kt, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)[:, : h // 2, : w // 2]
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
         x = nn.relu(AffineBN(64, self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         width = 64
@@ -148,9 +185,10 @@ def preprocess_images(images_uint8: jnp.ndarray) -> jnp.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def make_extractor(params, batch_size: int = 128, dtype=jnp.bfloat16):
+def make_extractor(params, batch_size: int = 128, dtype=jnp.bfloat16,
+                   stem_s2d: bool = True):
     """-> jitted fn: uint8 images (B, 224, 224, 3) -> (B, 2048) f32."""
-    model = ResNetFeatures(dtype=dtype)
+    model = ResNetFeatures(dtype=dtype, stem_s2d=stem_s2d)
 
     @jax.jit
     def extract(images):
@@ -160,7 +198,7 @@ def make_extractor(params, batch_size: int = 128, dtype=jnp.bfloat16):
 
 
 def init_random_params(key=None, dtype=jnp.bfloat16) -> dict:
-    model = ResNetFeatures(dtype=dtype)
+    model = ResNetFeatures(dtype=dtype)  # param tree identical for both stems
     key = key if key is not None else jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
     return model.init(key, dummy)["params"]

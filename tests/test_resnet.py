@@ -100,3 +100,17 @@ def test_preprocess_matches_reference_transform():
     std = np.array([0.229, 0.224, 0.225])
     want = (img.astype(np.float32) / 255.0 - mean) / std
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_space_to_depth_stem_equivalent():
+    """stem_s2d=True is numerically identical to the plain 7x7/s2 stem."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    m_plain = ResNetFeatures(blocks=BLOCKS, dtype=jnp.float32, stem_s2d=False)
+    import jax
+    params = m_plain.init(jax.random.PRNGKey(0), x)["params"]
+    m_s2d = ResNetFeatures(blocks=BLOCKS, dtype=jnp.float32, stem_s2d=True)
+    y0 = m_plain.apply({"params": params}, x)
+    y1 = m_s2d.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=2e-4, rtol=2e-4)
