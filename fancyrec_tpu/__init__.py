@@ -15,9 +15,11 @@ Layout:
   fancyrec_tpu.losses      rank-weighted triplet / CrossCLR / queue-contrastive
   fancyrec_tpu.train       train state, jitted step, trainer CLI, checkpoints
   fancyrec_tpu.eval        metric kernels (JAX + numpy oracle), evaluator, tester CLI
-  fancyrec_tpu.parallel    mesh construction and sharding rules
-  fancyrec_tpu.ops         Pallas TPU kernels for hot ops
+  fancyrec_tpu.parallel    mesh construction, sharding rules, multi-host init
+  fancyrec_tpu.ops         Pallas similarity kernel, streaming/distributed top-k
   fancyrec_tpu.preprocess  offline stage (frames, ResNet features, captions, packing)
+  fancyrec_tpu.serving     persistent post indexes + brand -> top-k queries
+  fancyrec_tpu.utils       fixture generator, meters, profiling hooks
 """
 
 __version__ = "0.1.0"
