@@ -17,6 +17,14 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # asserts finite loss internally
 
 
+def test_dryrun_multichip_self_provisions_subprocess():
+    """The driver calls dryrun_multichip under the real 1-chip axon backend;
+    it must re-exec itself onto a virtual CPU mesh rather than assert.
+    Exercise the subprocess path directly (it is device-count independent)."""
+    import __graft_entry__ as g
+    g._reexec_on_virtual_cpu_mesh(8)  # raises on subprocess failure
+
+
 def test_param_shardings_rules():
     from jax.sharding import PartitionSpec as P
     from fancyrec_tpu.parallel.mesh import build_mesh, param_shardings
