@@ -70,11 +70,14 @@ def prefetch_to_device(iterator, size: int = 2,
     _END = object()
 
     def producer():
+        # a producer failure must reach the consumer: swallowing it would
+        # silently truncate the epoch and keep training on partial data
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
             q.put(_END)
+        except BaseException as exc:  # noqa: BLE001 - re-raised below
+            q.put(_ProducerError(exc))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -82,4 +85,13 @@ def prefetch_to_device(iterator, size: int = 2,
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, _ProducerError):
+            raise item.exc
         yield item
+
+
+class _ProducerError:
+    """Wraps an exception crossing the producer-thread queue boundary."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

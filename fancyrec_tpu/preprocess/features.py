@@ -73,11 +73,13 @@ def extract_features(stream: Iterable[Tuple[str, np.ndarray]],
     _END = object()
 
     def producer():
+        # decode errors must fail the extraction, not truncate the BigFile
         try:
             for item in _batched(stream, batch_size):
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as exc:  # noqa: BLE001 - re-raised below
+            q.put(exc)
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -88,6 +90,8 @@ def extract_features(stream: Iterable[Tuple[str, np.ndarray]],
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             names, images = item
             feats = np.asarray(extract_fn(images))[: len(names)]
             written += w.write_batch(names, feats)

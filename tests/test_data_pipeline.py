@@ -170,6 +170,26 @@ def test_prefetch_is_deterministic(fixture_root):
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
 
 
+def test_prefetch_propagates_producer_exception(fixture_root):
+    """A mid-epoch IO failure in the producer thread must raise in the
+    consumer instead of silently truncating the epoch."""
+    import pytest
+
+    ds = _build_dataset(fixture_root)
+    loader = BatchLoader(ds, batch_size=4, final_batch="drop")
+
+    def failing_iter():
+        it = iter(loader)
+        yield next(it)
+        raise OSError("mmap gather failed mid-epoch")
+
+    stream = prefetch_to_device(failing_iter(), size=2)
+    next(stream)  # the batch before the failure still arrives
+    with pytest.raises(OSError, match="mid-epoch"):
+        for _ in stream:
+            pass
+
+
 def test_wordpiece_edge_cases_match_hf(wp_vocab):
     from transformers import BertTokenizer
     hf = BertTokenizer(wp_vocab, do_lower_case=True)

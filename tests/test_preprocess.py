@@ -142,3 +142,20 @@ def test_txt2bin_roundtrip(tmp_path):
     assert r.shape() == [2, 3]
     assert r.names == ["name one", "other"]  # spaces in names survive
     np.testing.assert_allclose(r.read_one("other"), [4.0, 5.0, 6.0])
+
+
+def test_extract_features_propagates_decode_exception(tmp_path):
+    """A decode failure in the producer thread must fail the extraction,
+    not silently truncate the BigFile."""
+    from fancyrec_tpu.preprocess.features import extract_features
+
+    def failing_stream():
+        yield "img0", np.zeros((8, 8, 3), np.uint8)
+        raise OSError("decode failed")
+
+    def fake_extract(images):
+        return np.ones((images.shape[0], 4), np.float32)
+
+    with pytest.raises(OSError, match="decode failed"):
+        extract_features(failing_stream(), str(tmp_path / "out"),
+                         batch_size=2, extract_fn=fake_extract)
