@@ -15,6 +15,11 @@ from fancyrec_tpu.eval.metrics import (
     RankingMetrics, cosine_sim_matrix, ranking_metrics_jax)
 from fancyrec_tpu.models.encoders import TextBatch, VisualBatch
 
+# model-input keys of a batch dict; the rest (idxs, n_valid) is host-side
+# scatter bookkeeping that never reaches the device
+_MODEL_KEYS = ("brand_ids", "frames", "origin", "vmask", "bows", "tokens",
+               "type_ids", "tmask")
+
 
 def make_encode_fn(model):
     """Jitted eval forward over one batch -> (brand_ids, post_embs)."""
@@ -36,9 +41,13 @@ def make_encode_fn(model):
 
 
 def encode_data(model, params, batch_stats, loader, common_dim: int,
-                encode_fn=None) -> Tuple[np.ndarray, np.ndarray]:
+                encode_fn=None, mesh=None) -> Tuple[np.ndarray, np.ndarray]:
     """Encode every post in `loader` -> (brands, post_embs) scattered by
-    dataset index (reference evaluator.py:38-81)."""
+    dataset index (reference evaluator.py:38-81).
+
+    With a mesh, each batch is device_put sharded over the 'data' axis so
+    the encode forward runs data-parallel across the mesh (GSPMD inserts
+    the collectives)."""
     encode_fn = encode_fn or make_encode_fn(model)
     n = len(loader.dataset)
     post_embs = np.zeros((n, common_dim), np.float32)
@@ -46,7 +55,11 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
     from fancyrec_tpu.utils.meters import Progress
     progress = Progress(n, label="encode")
     for batch in loader:
-        embs = np.asarray(encode_fn(params, batch_stats, batch))
+        dev = {k: batch[k] for k in _MODEL_KEYS if k in batch}
+        if mesh is not None:
+            from fancyrec_tpu.parallel.mesh import shard_batch
+            dev = shard_batch(mesh, dev, batch_axis=0)
+        embs = np.asarray(encode_fn(params, batch_stats, dev))
         k = batch["n_valid"]
         # batches are sorted by caption length; idxs carries the scatter map
         idxs = batch["idxs"]
@@ -100,10 +113,30 @@ def brand_embeddings(model, params, brand_num: int) -> jnp.ndarray:
                        method=model.embed_brand)
 
 
-def test_post_ranking(model, params, brand_num: int, post_embs, brands
-                      ) -> RankingMetrics:
-    """Full brands x posts cosine similarity + ranking metrics, on device."""
+def test_post_ranking(model, params, brand_num: int, post_embs, brands,
+                      mesh=None) -> RankingMetrics:
+    """Full brands x posts cosine similarity + ranking metrics, on device.
+
+    With a mesh whose 'data' axis is >1, the post axis is padded to the
+    shard count (pad posts carry brand label -1, which the metric kernel
+    scores -inf and excludes from pos/neg counts) and sharded, so the
+    similarity matmul and per-brand statistics run distributed."""
     aspects = brand_embeddings(model, params, brand_num)
-    scores = cosine_sim_matrix(aspects, jnp.asarray(post_embs))
-    m = ranking_metrics_jax(scores, jnp.asarray(brands), brand_num)
+    post_embs = jnp.asarray(post_embs)
+    brands = jnp.asarray(brands, jnp.int32)
+    if mesh is not None and int(mesh.devices.shape[0]) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shards = int(mesh.devices.shape[0])
+        pad = (-post_embs.shape[0]) % shards
+        if pad:
+            post_embs = jnp.concatenate(
+                [post_embs, jnp.ones((pad, post_embs.shape[1]),
+                                     post_embs.dtype)])
+            brands = jnp.concatenate(
+                [brands, jnp.full((pad,), -1, jnp.int32)])
+        post_embs = jax.device_put(
+            post_embs, NamedSharding(mesh, P("data", None)))
+        brands = jax.device_put(brands, NamedSharding(mesh, P("data")))
+    scores = cosine_sim_matrix(aspects, post_embs)
+    m = ranking_metrics_jax(scores, brands, brand_num)
     return RankingMetrics(*[float(x) for x in m])

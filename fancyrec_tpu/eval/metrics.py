@@ -147,15 +147,19 @@ def _per_brand_stats(s: jnp.ndarray, brands: jnp.ndarray, b: jnp.ndarray,
     both tie-consistent with a stable descending sort (lower original
     index wins ties, matching the oracle's Python sorted())."""
     n = s.shape[0]
+    # posts with label < 0 are padding (distributed eval pads the post axis
+    # to the shard count): scored -inf and excluded from both pos and neg
+    pad_mask = brands < 0
+    s = jnp.where(pad_mask, -jnp.inf, s)
     pos_mask = brands == b
     p_cnt = jnp.sum(pos_mask)
-    n_cnt = n - p_cnt
+    n_cnt = n - p_cnt - jnp.sum(pad_mask)
 
     # --- AUC via one co-sort + prefix counts (strict "neg < pos") ---
     # searchsorted lowers to per-query binary-search gathers (slow on TPU);
     # instead co-sort (score, is_neg) ascending and count negatives before
     # each tie group with O(N) scans.
-    isneg = (~pos_mask).astype(jnp.int32)
+    isneg = (~pos_mask & ~pad_mask).astype(jnp.int32)
     vals, isneg_s = jax.lax.sort((s, isneg), dimension=0, num_keys=1)
     neg_prefix = jnp.cumsum(isneg_s) - isneg_s       # negs strictly before i
     idx = jnp.arange(n)

@@ -38,9 +38,14 @@ def parse_args(argv=None):
     p.add_argument("--logger_name", default="runs")
     p.add_argument("--checkpoint_name", default="model_best.pth.tar", type=str)
     p.add_argument("--n_caption", type=int, default=20)
+    # parsed-but-unused, faithful to the reference (tester.py:39-40 accepts
+    # --level_vis/--level_txt but the encoder levels always come from the
+    # checkpoint's embedded train-time config)
     p.add_argument("--level_vis", type=str, default="1+2+3")
     p.add_argument("--level_txt", type=str, default="1+2+3")
     p.add_argument("--bert_vocab", type=str, default="")
+    # TPU-native extension: "" = all local devices data-parallel; "1" = one
+    p.add_argument("--mesh_shape", type=str, default="")
     return p.parse_args(argv)
 
 
@@ -59,15 +64,21 @@ def main(argv=None):
     cfg.rootpath = opt.rootpath
     testCollection = opt.testCollection
 
-    # output-dir derivation + overwrite guard (reference tester.py:69-75)
+    # output-dir derivation + overwrite guard (reference tester.py:69-75).
+    # The skip marker is the reference's pred_errors_matrix.pth.tar path so
+    # mixed-toolchain reruns skip identically; like the reference, the file
+    # itself is never written (its tester checks it but produces only
+    # stdout), and we emit mean_metrics.json alongside as a real artifact.
     output_dir = resume.replace(cfg.trainCollection, testCollection)
     output_dir = output_dir.replace("/%s/" % cfg.cv_name,
                                     "/results/%s/" % cfg.trainCollection)
+    pred_error_matrix_file = os.path.join(output_dir,
+                                          "pred_errors_matrix.pth.tar")
+    if os.path.exists(pred_error_matrix_file) and not opt.overwrite:
+        print("%s exists. skip" % pred_error_matrix_file)
+        sys.exit(0)
     result_file = os.path.join(os.path.dirname(output_dir),
                                "mean_metrics.json")
-    if os.path.exists(result_file) and not opt.overwrite:
-        print("%s exists. skip" % result_file)
-        sys.exit(0)
 
     root = opt.rootpath
     video_feat = ImageBigFile(os.path.join(root, testCollection, "FeatureData",
@@ -111,9 +122,19 @@ def main(argv=None):
     params = ckpt["model"]["params"]
     batch_stats = ckpt["model"].get("batch_stats", {})
 
-    brands, post_embs = encode_data(model, params, batch_stats, loader,
-                                    cfg.common_embedding_size)
-    m = test_post_ranking(model, params, cfg.brand_num, post_embs, brands)
+    # eval runs data-parallel over all local devices by default: batches
+    # shard over 'data' for encoding, the post axis shards for the ranking
+    # kernel (the train-time mesh shape is irrelevant at eval; params are
+    # replicated)
+    import jax
+    from fancyrec_tpu.parallel.mesh import build_mesh
+    mesh = build_mesh(opt.mesh_shape if opt.mesh_shape != ""
+                      else "%d,1" % len(jax.devices()))
+    with jax.set_mesh(mesh):
+        brands, post_embs = encode_data(model, params, batch_stats, loader,
+                                        cfg.common_embedding_size, mesh=mesh)
+        m = test_post_ranking(model, params, cfg.brand_num, post_embs,
+                              brands, mesh=mesh)
 
     print("AUC[0-1]:", m.auc)
     print("NDCG@10[0-1]:", m.ndcg10)

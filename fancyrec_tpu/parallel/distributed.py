@@ -30,7 +30,11 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         "JAX_COORDINATOR_ADDRESS")
     num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
-    if coordinator_address or os.environ.get("TPU_WORKER_HOSTNAMES"):
+    # TPU pod slices export the worker list; a single entry (or a tunneled
+    # single chip, which sets TPU_WORKER_HOSTNAMES=localhost) is not a pod
+    workers = [h for h in os.environ.get(
+        "TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    if coordinator_address or len(workers) > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)

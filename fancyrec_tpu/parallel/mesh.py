@@ -26,7 +26,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def build_mesh(mesh_shape: str = "", devices=None) -> Mesh:
-    """mesh_shape "4,2" -> Mesh(data=4, model=2). "" -> all devices on data."""
+    """mesh_shape "4,2" -> Mesh(data=4, model=2). "" -> all devices on data.
+
+    A shape smaller than the device count uses the leading subset (e.g.
+    "--mesh_shape 1,1" forces single-device on a multi-chip host)."""
     devices = devices if devices is not None else jax.devices()
     if mesh_shape:
         dims = tuple(int(x) for x in mesh_shape.split(","))
@@ -35,7 +38,7 @@ def build_mesh(mesh_shape: str = "", devices=None) -> Mesh:
     else:
         dims = (len(devices), 1)
     n = dims[0] * dims[1]
-    if n != len(devices):
+    if n > len(devices):
         raise ValueError("mesh %s needs %d devices, have %d"
                          % (dims, n, len(devices)))
     arr = np.asarray(devices[:n]).reshape(dims)

@@ -29,6 +29,8 @@ from fancyrec_tpu.io.bigfile import ImageBigFile
 from fancyrec_tpu.io.dictfile import read_dict
 from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
 from fancyrec_tpu.losses import init_queue_state
+from fancyrec_tpu.parallel.distributed import initialize_multihost, is_primary
+from fancyrec_tpu.parallel.mesh import build_mesh, shard_batch, shard_state
 from fancyrec_tpu.train import checkpoints
 from fancyrec_tpu.train.state import (
     current_lr, init_state, make_optimizer, scale_lr)
@@ -93,11 +95,12 @@ def build_datasets(cfg: Config) -> Dict[str, PostDataset]:
     return datasets
 
 
-def validate(model, state, loader, cfg: Config, encode_fn=None):
+def validate(model, state, loader, cfg: Config, encode_fn=None, mesh=None):
     brands, post_embs = encode_data(model, state.params, state.batch_stats,
                                     loader, cfg.common_embedding_size,
-                                    encode_fn)
-    m = test_post_ranking(model, state.params, cfg.brand_num, post_embs, brands)
+                                    encode_fn, mesh=mesh)
+    m = test_post_ranking(model, state.params, cfg.brand_num, post_embs,
+                          brands, mesh=mesh)
     print("MedR:", m.medr)
     print("MeanR:", m.meanr)
     print("AUC[0-1]:", m.auc)
@@ -125,16 +128,20 @@ def _superbatches(loader, accumulation_step: int):
 
 
 def train_epoch(train_step, state, loader, accumulation_step: int,
-                epoch: int, num_epochs: int):
+                epoch: int, num_epochs: int, mesh=None):
     print("Epoch[{0} / {1}] LR: {2}".format(
         epoch, num_epochs, current_lr(state)))
     losses = []
     t0 = time.time()
     n_items = 0
     # background thread assembles + stages the next super-batches on device
-    # while the current step runs (host gather <-> TPU compute overlap)
+    # while the current step runs (host gather <-> TPU compute overlap);
+    # with a mesh, the microbatch axis (axis 1; axis 0 is accumulation) is
+    # sharded over 'data' so the step runs data-parallel under GSPMD
+    put = (lambda b: shard_batch(mesh, b, batch_axis=1)) if mesh is not None \
+        else None
     stream = prefetch_to_device(_superbatches(loader, accumulation_step),
-                                size=2)
+                                size=2, device_put=put)
     for superbatch in stream:
         state, metrics = train_step(state, superbatch)
         losses.append(float(metrics["loss"]))
@@ -174,6 +181,24 @@ def main(argv=None):
     cfg = config_from_args(args)
     print(json.dumps({k: v for k, v in vars(args).items()}, indent=2, default=str))
 
+    # Scale-out wiring (TPU-native; the reference's counterpart is its single
+    # global `device`, util/constant.py:6, threaded into everything): start
+    # jax.distributed when multi-host env vars are present, then build the
+    # ('data','model') mesh -- cfg.mesh_shape "" = all devices on 'data', so
+    # bin/instance.sh on a v5e-8 trains 8-way data-parallel by default.
+    initialize_multihost()
+    mesh = build_mesh(cfg.mesh_shape)
+    if mesh.devices.size > 1:
+        print("mesh: %s (%d devices, %d processes)"
+              % (dict(zip(mesh.axis_names, mesh.devices.shape)),
+                 mesh.devices.size, jax.process_count()))
+    # ambient mesh: sequence-parallel sharding constraints inside the model
+    # resolve against it during tracing (including model.init)
+    with jax.set_mesh(mesh):
+        return _run(cfg, mesh)
+
+
+def _run(cfg: Config, mesh):
     cfg.logger_name = os.path.join(cfg.rootpath, "model", cfg.postfix)
     if cfg.auto_resume:
         # elastic restart: a finished run (val_metric.txt) still skips, but
@@ -255,9 +280,14 @@ def main(argv=None):
                 best_rsum = float(ckpt.get("best_rsum", 0.0))
             print("=> loaded checkpoint (epoch %s, best_rsum %s)"
                   % (ckpt.get("epoch"), ckpt.get("best_rsum")))
-            validate(model, state, loaders["val"], cfg)
+            validate(model, state, loaders["val"], cfg, mesh=mesh)
         else:
             print("=> no checkpoint found at '%s'" % cfg.resume)
+
+    # place params/opt-state on the mesh per the tp rules (aspect tables,
+    # wide mapping FCs, BERT FFN over 'model'; everything else replicated).
+    # After the resume block so restored host arrays get placed too.
+    state = shard_state(mesh, state)
 
     tx = make_optimizer(cfg)
     train_step = make_train_step(model, cfg, tx)
@@ -270,23 +300,30 @@ def main(argv=None):
         state = state.replace(
             queue=init_queue_state(cfg.queue_size, cfg.common_embedding_size))
         state, _ = train_epoch(train_step, state, loaders["train"],
-                               cfg.accumulation_step, epoch, cfg.num_epochs)
+                               cfg.accumulation_step, epoch, cfg.num_epochs,
+                               mesh=mesh)
 
         print("=" * 58)
         print("=" * 23 + "Test Phase" + "=" * 25)
         print("=" * 58)
-        score, metrics = validate(model, state, val_loader, cfg, encode_fn)
-        mlog.write({"epoch": epoch, "score": score, "lr": current_lr(state),
-                    "Eiters": int(state.step) + eiters,
-                    **{k: float(v) for k, v in metrics._asdict().items()}})
+        score, metrics = validate(model, state, val_loader, cfg, encode_fn,
+                                  mesh=mesh)
+        if is_primary():
+            mlog.write({"epoch": epoch, "score": score, "lr": current_lr(state),
+                        "Eiters": int(state.step) + eiters,
+                        **{k: float(v) for k, v in metrics._asdict().items()}})
         is_best = score > best_rsum
         print(" * Current perf in Test: {}".format(score))
         print(" * Best perf in Test: {}".format(best_rsum))
 
-        best_rsum = checkpoints.maybe_save_best(
-            cfg.logger_name, cfg, state.params, state.batch_stats,
-            epoch, score, best_rsum, int(state.step) + eiters, best_epoch,
-            opt_state=state.opt_state)
+        if is_primary():
+            best_rsum = checkpoints.maybe_save_best(
+                cfg.logger_name, cfg, state.params, state.batch_stats,
+                epoch, score, best_rsum, int(state.step) + eiters, best_epoch,
+                opt_state=state.opt_state)
+        else:
+            # non-primary hosts track the same best without writing
+            best_rsum = max(score, best_rsum)
         if is_best:
             best_epoch = epoch
 
@@ -303,8 +340,9 @@ def main(argv=None):
         else:
             no_impr = 0
 
-    with open(os.path.join(cfg.logger_name, "val_metric.txt"), "w") as f:
-        f.write(str(best_rsum))
+    if is_primary():
+        with open(os.path.join(cfg.logger_name, "val_metric.txt"), "w") as f:
+            f.write(str(best_rsum))
     print("best performance on Val: {}\n".format(best_rsum))
     return best_rsum
 

@@ -84,3 +84,23 @@ def test_jax_matches_oracle_many_brands():
 def test_composite_score():
     m = RankingMetrics(0, 0, 0.5, 0.5, 0.5, 10, 20, 30)
     assert composite_score(m) == pytest.approx(150 + 60)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_jax_pad_labels_do_not_change_metrics(seed):
+    """Posts with brand label -1 are distributed-eval padding: the kernel
+    must score them -inf and exclude them from pos/neg counts, so a padded
+    matrix reproduces the unpadded oracle exactly."""
+    scores, brands = _rand_case(seed)
+    ref = ranking_metrics_oracle(scores, brands, 6)
+
+    rng = np.random.RandomState(seed + 100)
+    pad = 5
+    scores_p = np.concatenate(
+        [scores, rng.randn(scores.shape[0], pad).astype(np.float32)], axis=1)
+    brands_p = np.concatenate([brands, np.full(pad, -1, brands.dtype)])
+    got = ranking_metrics_jax(scores_p, brands_p, 6)
+    got = RankingMetrics(*[float(x) for x in got])
+    for name in RankingMetrics._fields:
+        assert getattr(got, name) == pytest.approx(
+            getattr(ref, name), abs=1e-5), name

@@ -78,6 +78,44 @@ def test_distributed_eval_matches_single_device():
         np.testing.assert_allclose(float(a), float(b), atol=1e-5)
 
 
+def test_trainer_cli_mesh_end_to_end(tmp_path):
+    """`fancyrec-train ... --mesh_shape 4,2` must train end-to-end on the
+    virtual 8-device mesh from the CLI (the production wiring, not just the
+    step library) and produce the same score as an explicit 1-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.train import trainer
+    from fancyrec_tpu.utils.fixture import make_fixture
+
+    root = str(tmp_path)
+    make_fixture(root, brand_num=3, videos_per_brand=4, imgs_per_brand=4,
+                 feat_dim=16, frames_per_video=4, seed=0)
+    common = [
+        "insCartrain", "insCarval", "insCartest", "--rootpath", root,
+        "--brand_num", "3", "--brand_aspect", "16",
+        "--video_feature", "resnet152_dim_16",
+        "--img_feature", "imgfeat_dim_16",
+        "--common_embedding_size", "32", "--visual_rnn_size", "16",
+        "--text_rnn_size", "16", "--visual_kernel_num", "8",
+        "--text_kernel_num", "8", "--text_mapping_size", "32",
+        "--visual_mapping_size", "32", "--word_dim", "16",
+        "--batch_size", "4", "--accumulation_step", "2",
+        "--learning_rate", "0.001", "--overwrite", "1",
+        "--max_frames", "8", "--max_tokens", "24", "--max_words", "16",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "1",
+    ]
+    best_multi = trainer.main(common + ["--postfix", "run_mesh42",
+                                        "--mesh_shape", "4,2"])
+    best_single = trainer.main(common + ["--postfix", "run_mesh11",
+                                         "--mesh_shape", "1,1"])
+    assert best_multi > 400, best_multi
+    assert best_multi == pytest.approx(best_single, rel=1e-3)
+    import os
+    assert os.path.exists(os.path.join(root, "model", "run_mesh42",
+                                       "model_best.pth.tar"))
+
+
 def test_sharded_step_matches_unsharded():
     """One full train step: dp+tp+sp sharded over the 8-device mesh must
     produce the same loss and parameters as the single-device run."""
