@@ -10,6 +10,7 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -91,6 +92,45 @@ def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
     return n_posts / (time.perf_counter() - t0)
 
 
+def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
+                  iters: int = 20) -> dict:
+    """End-to-end PostIndex.query latency at 1M posts: the jit-cached
+    streaming top-k plus host-side id mapping. Posts are generated on
+    device (a 4 GB host->device transfer over the tunnel would swamp the
+    measurement); the on-disk plumbing is covered by tests."""
+    import tempfile
+
+    from fancyrec_tpu.io.bigfile import BigFileWriter
+    from fancyrec_tpu.serving.index import PostIndex
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx_dir = os.path.join(tmp, "idx")
+        rng = np.random.RandomState(0)
+        with BigFileWriter(idx_dir, ndims=dim, delimiter="\t") as w:
+            w.write_batch(["seed%d" % i for i in range(8)],
+                          rng.randn(8, dim).astype(np.float32))
+        np.save(os.path.join(idx_dir, "brands.npy"), np.zeros(8, np.int32))
+        np.save(os.path.join(idx_dir, "brand_embeddings.npy"),
+                rng.randn(51, dim).astype(np.float32))
+        with open(os.path.join(idx_dir, "index_meta.json"), "w") as f:
+            f.write(json.dumps({"collection": "bench", "checkpoint": "none",
+                                "brand_num": 51, "dim": dim,
+                                "n_posts": n_posts}))
+        index = PostIndex(idx_dir, device_resident=False)
+        # swap in a device-resident synthetic 1M-post corpus
+        key = jax.random.PRNGKey(0)
+        index._posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
+        index.n_posts = n_posts
+        index.cap_ids = ["p%d" % i for i in range(n_posts)]
+
+        _ = index.query(list(range(51)), k=k)      # compile + cache
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            vals, names = index.query(list(range(51)), k=k)
+        dt = (time.perf_counter() - t0) / iters
+    return {"query_latency_ms": dt * 1e3, "n_posts": n_posts, "k": k}
+
+
 def bench_eval(n_posts: int = 4096, iters: int = 3) -> dict:
     """Full-eval wall time at recipe dims: encode every post through the
     jitted eval forward (batch 128), then brands x posts ranking metrics.
@@ -162,6 +202,13 @@ def main():
             "value": round(pps / 1e6, 2), "unit": "Mposts/sec/chip",
             "vs_baseline": None,
         }))
+    elif mode == "serving":
+        r = bench_serving()
+        print(json.dumps({
+            "metric": "serving_query_latency_1m_posts",
+            "value": round(r["query_latency_ms"], 1), "unit": "ms",
+            "vs_baseline": None, "k": r["k"],
+        }))
     elif mode == "eval":
         r = bench_eval()
         print(json.dumps({
@@ -172,7 +219,7 @@ def main():
             "metric_kernel_ms": round(r["metric_kernel_ms"], 1),
         }))
     else:
-        raise SystemExit("usage: bench.py [resnet [batch]|train|retrieval|eval]")
+        raise SystemExit("usage: bench.py [resnet [batch]|train|retrieval|eval|serving]")
 
 
 if __name__ == "__main__":

@@ -95,15 +95,17 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
                    block: int = 4096, use_pallas: bool = True,
                    pvary_axis: Optional[str] = None,
-                   score_dtype: jnp.dtype = jnp.float32
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   score_dtype: jnp.dtype = jnp.float32,
+                   n_valid=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k posts per brand without materializing the full score matrix.
 
     Returns (values (B, k), indices (B, k)), descending. Memory: O(B *
     (block + k)) regardless of N. score_dtype=bfloat16 halves the HBM
     traffic of the scoring matmul (top-k merge stays f32); rankings may
     differ on near-ties -- use for the large-index serving path, keep f32
-    for metric-parity evaluation.
+    for metric-parity evaluation. n_valid (int or traced scalar) masks
+    rows >= n_valid to -inf: callers that pre-pad the post axis (e.g. to
+    a shard multiple) pass the true row count so pad rows never rank.
     """
     b, d = brands.shape
     n = posts.shape[0]
@@ -126,9 +128,10 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
         inv = jax.lax.rsqrt(jnp.sum(blk * blk, axis=1, keepdims=True))
         scores = jnp.dot(brands_c, ((blk * inv).astype(score_dtype)).T,
                          preferred_element_type=jnp.float32)
-        scores = jnp.where(vmask[None, :], scores, -jnp.inf)
-        cand_vals = jnp.concatenate([vals, scores], axis=1).astype(jnp.float32)
         blk_idx = (start + jnp.arange(block, dtype=jnp.int32)).astype(jnp.int32)
+        ok = vmask if n_valid is None else vmask & (blk_idx < n_valid)
+        scores = jnp.where(ok[None, :], scores, -jnp.inf)
+        cand_vals = jnp.concatenate([vals, scores], axis=1).astype(jnp.float32)
         cand_idx = jnp.concatenate(
             [idxs, jnp.broadcast_to(blk_idx, (b, block))], axis=1)
         new_vals, sel = jax.lax.top_k(cand_vals, k)
@@ -148,10 +151,14 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
 
 
 def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
-                               axis: str = "data", block: int = 4096):
+                               axis: str = "data", block: int = 4096,
+                               n_valid: Optional[int] = None,
+                               score_dtype: jnp.dtype = jnp.float32):
     """Sharded top-k: each device scans its post shard, then a cross-shard
     all-gather + final top-k merge. posts_sharded: (N, D) sharded on axis 0
-    over `axis`; returns replicated (values, global indices)."""
+    over `axis`; returns replicated (values, global indices). n_valid: true
+    row count when the post axis was padded to a shard multiple -- pad rows
+    are masked to -inf inside each shard's scan."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -160,9 +167,14 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
     shard_size = n // n_shards
 
     def local(brands_l, posts_l):
-        vals, idxs = retrieval_topk(brands_l, posts_l, k, block=block,
-                                    pvary_axis=axis)
         shard_id = jax.lax.axis_index(axis)
+        local_valid = None
+        if n_valid is not None:
+            local_valid = jnp.clip(n_valid - shard_id * shard_size,
+                                   0, shard_size)
+        vals, idxs = retrieval_topk(brands_l, posts_l, k, block=block,
+                                    pvary_axis=axis, n_valid=local_valid,
+                                    score_dtype=score_dtype)
         idxs = idxs + shard_id * shard_size
         # gather every shard's candidates and merge
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)

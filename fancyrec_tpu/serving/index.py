@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fancyrec_tpu.io.bigfile import BigFileReader, BigFileWriter
-from fancyrec_tpu.ops.similarity import retrieval_topk
+from fancyrec_tpu.ops.similarity import (
+    distributed_retrieval_topk, retrieval_topk)
 
 
 def build_index(checkpoint_path: str, rootpath: str, collection: str,
@@ -103,9 +104,18 @@ def build_index(checkpoint_path: str, rootpath: str, collection: str,
 
 
 class PostIndex:
-    """Query interface over a built index directory."""
+    """Query interface over a built index directory.
 
-    def __init__(self, index_dir: str, device_resident: bool = True):
+    The top-k program is jitted once per (n_posts, n_brands, k, block,
+    dtype) and cached -- retrieval_topk is a lax.scan builder, and eager
+    per-query dispatch would dwarf the ~59 ms kernel time at 1M posts.
+    With a mesh whose `axis` dimension is >1, the posts live sharded
+    across devices (padded to the shard multiple; pad rows masked inside
+    the scan) and queries run the distributed cross-shard merge.
+    """
+
+    def __init__(self, index_dir: str, device_resident: bool = True,
+                 mesh=None, mesh_axis: str = "data"):
         self.store = BigFileReader(index_dir, delimiter="\t")
         self.cap_ids = self.store.names
         self.brands = np.load(os.path.join(index_dir, "brands.npy"))
@@ -113,24 +123,60 @@ class PostIndex:
             os.path.join(index_dir, "brand_embeddings.npy"))
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             self.meta = json.loads(f.read())
+        self.n_posts = self.store.nr_of_rows
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._shards = 1
+        if mesh is not None:
+            self._shards = int(
+                mesh.devices.shape[list(mesh.axis_names).index(mesh_axis)])
         self._posts = None
+        self._query_cache = {}
         if device_resident:
-            self._posts = jnp.asarray(
-                self.store.read_rows(np.arange(self.store.nr_of_rows)))
+            self.posts()
 
     def posts(self) -> jnp.ndarray:
         if self._posts is None:
-            self._posts = jnp.asarray(
-                self.store.read_rows(np.arange(self.store.nr_of_rows)))
+            rows = self.store.read_rows(np.arange(self.n_posts))
+            pad = (-self.n_posts) % self._shards
+            if pad:
+                rows = np.concatenate(
+                    [rows, np.zeros((pad, rows.shape[1]), rows.dtype)])
+            if self.mesh is not None and self._shards > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._posts = jax.device_put(
+                    rows, NamedSharding(self.mesh, P(self.mesh_axis, None)))
+            else:
+                self._posts = jnp.asarray(rows)
         return self._posts
+
+    def _jitted_topk(self, n_brands: int, k: int, block: int, score_dtype):
+        key = (self.n_posts, n_brands, k, block, jnp.dtype(score_dtype).name)
+        fn = self._query_cache.get(key)
+        if fn is None:
+            if self.mesh is not None and self._shards > 1:
+                mesh, axis, n_valid = self.mesh, self.mesh_axis, self.n_posts
+
+                def run(q, posts):
+                    return distributed_retrieval_topk(
+                        q, posts, k, mesh, axis=axis, block=block,
+                        n_valid=n_valid, score_dtype=score_dtype)
+            else:
+                def run(q, posts):
+                    return retrieval_topk(q, posts, k, block=block,
+                                          score_dtype=score_dtype,
+                                          n_valid=self.n_posts)
+            fn = jax.jit(run)
+            self._query_cache[key] = fn
+        return fn
 
     def query(self, brand_ids: Sequence[int], k: int = 10,
               block: int = 4096, score_dtype=jnp.float32
               ) -> Tuple[np.ndarray, list]:
         """-> (scores (B, k), [[cap_id, ...] per brand]) best-first."""
         q = jnp.asarray(self.brand_embs[np.asarray(brand_ids)])
-        vals, idxs = retrieval_topk(q, self.posts(), k, block=block,
-                                    score_dtype=score_dtype)
+        fn = self._jitted_topk(q.shape[0], k, block, score_dtype)
+        vals, idxs = fn(q, self.posts())
         idxs = np.asarray(idxs)
         names = [[self.cap_ids[i] for i in row] for row in idxs]
         return np.asarray(vals), names
@@ -151,13 +197,20 @@ def main(argv=None):
     q.add_argument("--brands", required=True,
                    help="comma-separated brand ids")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mesh_shape", default="",
+                   help="'auto' = shard posts over all local devices; "
+                        "'N' or 'N,1' = over N; '' = single device")
     a = p.parse_args(argv)
     if a.cmd == "build":
         n = build_index(a.checkpoint, a.rootpath, a.collection, a.out_dir,
                         a.batch_size, a.bert_vocab)
         print(json.dumps({"indexed_posts": n, "out": a.out_dir}))
     else:
-        index = PostIndex(a.index_dir)
+        mesh = None
+        if a.mesh_shape:
+            from fancyrec_tpu.parallel.mesh import build_mesh
+            mesh = build_mesh("" if a.mesh_shape == "auto" else a.mesh_shape)
+        index = PostIndex(a.index_dir, mesh=mesh)
         ids = [int(x) for x in a.brands.split(",")]
         vals, names = index.query(ids, k=a.k)
         for b_id, v, n in zip(ids, vals, names):

@@ -45,3 +45,60 @@ def test_build_and_query_index(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     recs = [json.loads(line) for line in out]
     assert recs[0]["brand"] == 0 and len(recs[0]["results"]) == 3
+
+
+def _toy_index(idx_dir, n_posts=100, dim=16, brand_num=4, seed=0):
+    """Write a synthetic PostIndex directory (no training needed)."""
+    from fancyrec_tpu.io.bigfile import BigFileWriter
+
+    rng = np.random.RandomState(seed)
+    embs = rng.randn(n_posts, dim).astype(np.float32)
+    names = ["post%d#enc#0" % i for i in range(n_posts)]
+    with BigFileWriter(idx_dir, ndims=dim, delimiter="\t") as w:
+        w.write_batch(names, embs)
+    np.save(os.path.join(idx_dir, "brands.npy"),
+            rng.randint(0, brand_num, n_posts))
+    np.save(os.path.join(idx_dir, "brand_embeddings.npy"),
+            rng.randn(brand_num, dim).astype(np.float32))
+    with open(os.path.join(idx_dir, "index_meta.json"), "w") as f:
+        f.write(json.dumps({"collection": "toy", "checkpoint": "none",
+                            "brand_num": brand_num, "dim": dim,
+                            "n_posts": n_posts}))
+    return embs
+
+
+def test_query_is_jitted_and_cached(tmp_path):
+    idx_dir = str(tmp_path / "toy")
+    _toy_index(idx_dir)
+    index = PostIndex(idx_dir)
+    v1, n1 = index.query([0, 1], k=7)
+    assert len(index._query_cache) == 1
+    v2, n2 = index.query([0, 1], k=7)   # same signature: cache hit
+    assert len(index._query_cache) == 1
+    np.testing.assert_array_equal(v1, v2)
+    assert n1 == n2
+    index.query([0, 1], k=3)            # new k: new entry
+    assert len(index._query_cache) == 2
+
+
+def test_sharded_query_matches_single_device(tmp_path):
+    """Posts sharded over the 8-device mesh (97 rows pad to 104) must
+    return exactly the single-device ranking."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+
+    idx_dir = str(tmp_path / "toy")
+    _toy_index(idx_dir, n_posts=97)     # not divisible by 8: pads + masks
+    single = PostIndex(idx_dir)
+    sv, sn = single.query([0, 1, 2, 3], k=9)
+
+    mesh = build_mesh("8,1")
+    sharded = PostIndex(idx_dir, mesh=mesh)
+    assert sharded.posts().shape[0] == 104  # padded to the shard multiple
+    mv, mn = sharded.query([0, 1, 2, 3], k=9)
+    np.testing.assert_allclose(mv, sv, atol=1e-5)
+    assert mn == sn
