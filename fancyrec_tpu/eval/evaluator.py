@@ -104,6 +104,16 @@ def make_encode_txt_fn(model):
     return encode
 
 
+def random_sim(num_brands: int, num_test_posts: int,
+               seed: int = None) -> np.ndarray:
+    """Random-baseline similarity matrix (reference evaluator.py:31-35;
+    its only call site is commented out at evaluator.py:102). Kept for the
+    same ablation: swap it for the cosine scores to sanity-check that the
+    metrics collapse to chance."""
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    return rng.rand(num_brands, num_test_posts)
+
+
 def brand_embeddings(model, params, brand_num: int) -> jnp.ndarray:
     """All-brand embeddings: aspect mixtures meaned over the aspect axis
     (reference evaluator.py:89-94)."""

@@ -92,6 +92,11 @@ def ranking_metrics_oracle(scores: np.ndarray, brands: np.ndarray,
 
     for b in range(scores.shape[0]):
         s = scores[b]
+        # kind="stable" matches the reference's Python sorted() in its
+        # AUC/NDCG loop (evaluator.py:110). Its R@K path separately uses an
+        # UNSTABLE np.argsort (evaluator.py:124), so on exact score ties the
+        # reference can disagree with itself; we are stable-consistent
+        # everywhere (ties are measure-zero on float scores).
         order = np.argsort(-s, kind="stable")
         sorted_brands = brands[order]
         sorted_scores = s[order]

@@ -25,6 +25,30 @@ def test_dryrun_multichip_self_provisions_subprocess():
     g._reexec_on_virtual_cpu_mesh(8)  # raises on subprocess failure
 
 
+def test_initialize_multihost_single_host_is_noop(monkeypatch):
+    """Single-host setups (including a tunneled single chip exporting
+    TPU_WORKER_HOSTNAMES=localhost) must not attempt jax.distributed
+    .initialize. True multi-host bring-up can't run in this environment;
+    bin/pod_instance.sh documents the launch recipe and this guard keeps
+    the autodetect from misfiring on single hosts."""
+    import fancyrec_tpu.parallel.distributed as dist
+
+    monkeypatch.setattr(dist, "_initialized", False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    assert dist.initialize_multihost() is False
+    assert calls == []
+
+    # a 2-entry worker list IS a pod: initialize must be attempted
+    monkeypatch.setattr(dist, "_initialized", False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    dist.initialize_multihost()
+    assert len(calls) == 1
+
+
 def test_param_shardings_rules():
     from jax.sharding import PartitionSpec as P
     from fancyrec_tpu.parallel.mesh import build_mesh, param_shardings
