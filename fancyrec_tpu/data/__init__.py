@@ -6,3 +6,4 @@ __all__ = [
     "CaptionSet", "PostDataset", "BatchLoader", "prefetch_to_device",
     "WordPieceTokenizer",
 ]
+from fancyrec_tpu.data.modality import TxtDataset, VisDataset, encode_modality
