@@ -119,7 +119,8 @@ class Config:
     bert_weights: str = ""          # optional HF/torch BERT weight file to load
     validate_split: str = "test"    # reference validates on the *test* loader (trainer.py:283-288)
     auto_resume: bool = False       # resume from the latest epoch checkpoint after a crash
-    seq_shard: bool = False         # sequence-parallel time-axis sharding over 'model' 
+    seq_shard: bool = False         # sequence-parallel time-axis sharding over 'model'
+    profile_dir: str = ""           # capture an XLA profiler trace of epoch 1 into this dir
 
     # -- derived at setup (reference trainer.py:154-234) --
     text_kernel_sizes_list: List[int] = field(default_factory=list)
@@ -272,6 +273,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--validate_split", type=str, default=d.validate_split)
     p.add_argument("--auto_resume", action="store_true")
     p.add_argument("--seq_shard", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     return p
 
 

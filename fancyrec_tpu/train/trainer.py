@@ -299,9 +299,17 @@ def _run(cfg: Config, mesh):
         # (trainer.py:342-354), resetting the contrastive queue: preserved
         state = state.replace(
             queue=init_queue_state(cfg.queue_size, cfg.common_embedding_size))
-        state, _ = train_epoch(train_step, state, loaders["train"],
-                               cfg.accumulation_step, epoch, cfg.num_epochs,
-                               mesh=mesh)
+        # profile epoch 1 (epoch 0 includes compilation) into an XProf trace
+        if cfg.profile_dir and epoch == min(1, cfg.num_epochs - 1):
+            from fancyrec_tpu.utils.profiling import trace
+            profile_ctx = trace(cfg.profile_dir)
+        else:
+            import contextlib
+            profile_ctx = contextlib.nullcontext()
+        with profile_ctx:
+            state, _ = train_epoch(train_step, state, loaders["train"],
+                                   cfg.accumulation_step, epoch,
+                                   cfg.num_epochs, mesh=mesh)
 
         print("=" * 58)
         print("=" * 23 + "Test Phase" + "=" * 25)
@@ -309,9 +317,14 @@ def _run(cfg: Config, mesh):
         score, metrics = validate(model, state, val_loader, cfg, encode_fn,
                                   mesh=mesh)
         if is_primary():
+            from fancyrec_tpu.utils.profiling import device_memory_stats
+            mem = device_memory_stats()
             mlog.write({"epoch": epoch, "score": score, "lr": current_lr(state),
                         "Eiters": int(state.step) + eiters,
-                        **{k: float(v) for k, v in metrics._asdict().items()}})
+                        **{k: float(v) for k, v in metrics._asdict().items()},
+                        **({"hbm_bytes_in_use": mem["bytes_in_use"],
+                            "hbm_peak_bytes": mem.get("peak_bytes_in_use")}
+                           if "bytes_in_use" in mem else {})})
         is_best = score > best_rsum
         print(" * Current perf in Test: {}".format(score))
         print(" * Best perf in Test: {}".format(best_rsum))

@@ -101,3 +101,17 @@ def test_validate_split_val_fix(root):
     assert best > 0
     assert os.path.exists(os.path.join(root, "model", "run_valsel",
                                        "model_best.pth.tar"))
+
+
+def test_profile_dir_captures_trace(root, tmp_path):
+    """--profile_dir writes an XProf trace of epoch 1."""
+    prof = str(tmp_path / "prof")
+    trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_prof",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "2",
+        "--profile_dir", prof,
+    ])
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(prof) for f in fs]
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+               for f in files), files
