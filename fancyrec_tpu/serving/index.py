@@ -31,7 +31,7 @@ from fancyrec_tpu.ops.similarity import (
 
 def build_index(checkpoint_path: str, rootpath: str, collection: str,
                 out_dir: str, batch_size: int = 128,
-                bert_vocab: str = "") -> int:
+                bert_vocab: str = "", mesh=None) -> int:
     """Encode every post of a collection into an on-disk index."""
     from fancyrec_tpu.data.dataset import PostDataset, load_info
     from fancyrec_tpu.data.loader import BatchLoader
@@ -83,7 +83,7 @@ def build_index(checkpoint_path: str, rootpath: str, collection: str,
     params = ckpt["model"]["params"]
     batch_stats = ckpt["model"].get("batch_stats", {})
     brands, post_embs = encode_data(model, params, batch_stats, loader,
-                                    cfg.common_embedding_size)
+                                    cfg.common_embedding_size, mesh=mesh)
 
     # cap_ids contain '#' (the caption-id grammar), so the index store uses
     # a tab-delimited id.txt -- same BigFile layout otherwise
@@ -192,6 +192,9 @@ def main(argv=None):
     b.add_argument("--collection", required=True)
     b.add_argument("--batch_size", type=int, default=128)
     b.add_argument("--bert_vocab", default="")
+    b.add_argument("--mesh_shape", default="",
+                   help="'auto' = encode data-parallel over all local "
+                        "devices; 'N,1' explicit; '' = single device")
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("--brands", required=True,
@@ -201,15 +204,15 @@ def main(argv=None):
                    help="'auto' = shard posts over all local devices; "
                         "'N' or 'N,1' = over N; '' = single device")
     a = p.parse_args(argv)
+    mesh = None
+    if a.mesh_shape:
+        from fancyrec_tpu.parallel.mesh import build_mesh
+        mesh = build_mesh("" if a.mesh_shape == "auto" else a.mesh_shape)
     if a.cmd == "build":
         n = build_index(a.checkpoint, a.rootpath, a.collection, a.out_dir,
-                        a.batch_size, a.bert_vocab)
+                        a.batch_size, a.bert_vocab, mesh=mesh)
         print(json.dumps({"indexed_posts": n, "out": a.out_dir}))
     else:
-        mesh = None
-        if a.mesh_shape:
-            from fancyrec_tpu.parallel.mesh import build_mesh
-            mesh = build_mesh("" if a.mesh_shape == "auto" else a.mesh_shape)
         index = PostIndex(a.index_dir, mesh=mesh)
         ids = [int(x) for x in a.brands.split(",")]
         vals, names = index.query(ids, k=a.k)

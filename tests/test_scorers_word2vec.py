@@ -84,3 +84,15 @@ def test_ave_word2vec(w2v_store):
     assert enc.mapping("unknown words only") is None
     l2 = AveWord2Vec(d, L2_norm=1).mapping("red car")
     assert np.isclose(np.linalg.norm(l2), 1.0)
+
+
+def test_gen_adj_matches_reference_formula():
+    import numpy as np
+    from fancyrec_tpu.utils.meters import gen_adj
+
+    rng = np.random.RandomState(0)
+    a = (rng.rand(6, 6) > 0.4).astype(np.float32) + np.eye(6, dtype=np.float32)
+    d = np.power(a.sum(1), -0.5)
+    dm = np.diag(d)
+    want = (a @ dm).T @ dm
+    np.testing.assert_allclose(np.asarray(gen_adj(a)), want, atol=1e-6)
