@@ -75,7 +75,7 @@ def run(source_root: str, target_root: str, dataset_name: str = "insCar",
         feat_dim_name: str = "resnet152_dim_2048",
         img_feat_name: str = "imgfeat_dim_2048",
         params=None, batch_size: int = 128, vocab_threshold: int = 5,
-        brands=None, extract_fn=None) -> Dict[str, str]:
+        brands=None, extract_fn=None, decode_workers: int = 1) -> Dict[str, str]:
     """Full pipeline: source scrape tree -> ready-to-train collection tree."""
     out_dir = os.path.join(target_root, dataset_name)
     os.makedirs(out_dir, exist_ok=True)
@@ -84,7 +84,11 @@ def run(source_root: str, target_root: str, dataset_name: str = "insCar",
     # 1+2+3: videos -> frame features (fused) -> BigFile + video2frames
     video_feat_dir = os.path.join(out_dir, "video_features")
     if not os.path.exists(os.path.join(video_feat_dir, "shape.txt")):
-        stream = V.iter_sampled_frames(source_root, brands)
+        if decode_workers > 1:
+            stream = V.iter_sampled_frames_parallel(source_root, brands,
+                                                    workers=decode_workers)
+        else:
+            stream = V.iter_sampled_frames(source_root, brands)
         n = F.extract_features(stream, video_feat_dir, batch_size=batch_size,
                                params=params, extract_fn=extract_fn)
         print("frame features:", n)
@@ -144,9 +148,13 @@ def main():
     p.add_argument("--dataset_name", default="insCar")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--vocab_threshold", type=int, default=5)
+    p.add_argument("--decode_workers", type=int, default=1,
+                   help="parallel video decode threads (frame output order "
+                        "stays deterministic)")
     a = p.parse_args()
     out = run(a.source_root, a.target_root, a.dataset_name,
-              batch_size=a.batch_size, vocab_threshold=a.vocab_threshold)
+              batch_size=a.batch_size, vocab_threshold=a.vocab_threshold,
+              decode_workers=a.decode_workers)
     print(json.dumps(out, indent=2))
 
 

@@ -87,6 +87,45 @@ def iter_sampled_frames(root: str, categories, resize=(224, 224)
             yield "video%d_%d_cls%d" % (video_id, count, brand_idx), rgb
 
 
+def iter_sampled_frames_parallel(root: str, categories, resize=(224, 224),
+                                 workers: int = 4
+                                 ) -> Iterator[Tuple[str, np.ndarray]]:
+    """Decode-ahead variant of iter_sampled_frames: up to `workers` videos
+    decode concurrently (cv2 releases the GIL in the decoder), while frames
+    are yielded strictly in the reference's sorted video order so the
+    BigFile id.txt ordering stays byte-identical to the serial mode. On the
+    preprocess host this overlaps per-video decode with the TPU forward;
+    with workers=1 it degenerates to the serial path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    videos = _list_videos(root, categories)
+
+    def decode(args):
+        video_id, (brand_idx, cate, fname) = args
+        return [("video%d_%d_cls%d" % (video_id, count, brand_idx), rgb)
+                for count, rgb in iter_video_frames(
+                    os.path.join(root, cate, fname), resize=resize)]
+
+    from collections import deque
+
+    workers = max(workers, 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        # bounded in-flight window (Executor.map would submit every video
+        # up front and hold all decoded frames in memory)
+        pending = deque()
+        it = enumerate(videos, start=1)
+        for args in it:
+            pending.append(pool.submit(decode, args))
+            if len(pending) >= workers + 1:
+                break
+        while pending:
+            for item in pending.popleft().result():
+                yield item
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(pool.submit(decode, nxt))
+
+
 def video2idx_and_idx2video(root_path: str, categories, out_path: str) -> dict:
     """video name <-> running id maps (preprocess_videos.py:73-107)."""
     video2idx: Dict[str, int] = {}

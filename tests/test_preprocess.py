@@ -159,3 +159,15 @@ def test_extract_features_propagates_decode_exception(tmp_path):
     with pytest.raises(OSError, match="decode failed"):
         extract_features(failing_stream(), str(tmp_path / "out"),
                          batch_size=2, extract_fn=fake_extract)
+
+
+def test_parallel_decode_matches_serial(scrape_tree):
+    """iter_sampled_frames_parallel must yield the exact serial stream
+    (names and pixels) so BigFile id.txt ordering stays identical."""
+    brands = sorted(os.listdir(scrape_tree))
+    serial = list(videos.iter_sampled_frames(scrape_tree, brands))
+    par = list(videos.iter_sampled_frames_parallel(scrape_tree, brands,
+                                                   workers=3))
+    assert [n for n, _ in serial] == [n for n, _ in par]
+    for (_, a), (_, b) in zip(serial, par):
+        np.testing.assert_array_equal(a, b)
