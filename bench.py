@@ -142,10 +142,13 @@ def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
     posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
     f = jax.jit(lambda b, p: retrieval_topk(b, p, k, block=4096))
     _ = np.asarray(f(brands, posts)[0])  # compile + drain
+    iters = 10
     t0 = time.perf_counter()
-    out = f(brands, posts)
+    for _ in range(iters):
+        out = f(brands, posts)
     _ = np.asarray(out[0])               # (51, k) fetch forces completion
-    return n_posts / (time.perf_counter() - t0)
+    # steady-state: amortizes the tunnel RTT that a single shot eats whole
+    return n_posts * iters / (time.perf_counter() - t0)
 
 
 def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,

@@ -58,3 +58,24 @@ def test_distributed_topk_matches_single_device():
     np.testing.assert_allclose(np.asarray(vals_d), np.asarray(vals_s),
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(idxs_d), np.asarray(idxs_s))
+
+
+def test_matrix_strategy_matches_scan():
+    """Both top-k strategies (one-matmul matrix path vs streaming scan)
+    must return identical results, including n_valid pad masking."""
+    brands, posts = _case(3, n=3000)
+    for n_valid in (None, 2500):
+        vm, im = retrieval_topk(jnp.asarray(brands), jnp.asarray(posts),
+                                k=7, strategy="matrix", n_valid=n_valid)
+        vs, isc = retrieval_topk(jnp.asarray(brands), jnp.asarray(posts),
+                                 k=7, block=512, strategy="scan",
+                                 n_valid=n_valid)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(vs), atol=2e-5)
+        scores = np.asarray(cosine_sim_matrix(jnp.asarray(brands),
+                                              jnp.asarray(posts)))
+        for b in range(brands.shape[0]):
+            np.testing.assert_allclose(scores[b][np.asarray(im)[b]],
+                                       scores[b][np.asarray(isc)[b]],
+                                       atol=2e-5)
+        if n_valid is not None:
+            assert (np.asarray(im) < n_valid).all()
