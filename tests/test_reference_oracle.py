@@ -296,6 +296,95 @@ def test_bigru_model_forward_matches_reference(ref, tmp_path, fusion_style):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_transformers_model_forward_matches_reference(ref, tmp_path,
+                                                      monkeypatch):
+    """The recipe-default text tower (3-layer BERT + convs + mapping) from
+    the ACTUAL reference model, weights shared through checkpoint
+    ingestion. BertModel.from_pretrained is patched to random init (no
+    weights offline) -- values flow through the shared state dict, so the
+    comparison is exact regardless."""
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.BertModel, "from_pretrained",
+        classmethod(lambda cls, name, config=None, **kw:
+                    cls(config if config is not None
+                        else transformers.BertConfig())))
+
+    torch.manual_seed(1)
+    opt = _ref_opt("ph")
+    opt.text_net = "transformers"
+    opt.text_transformers_hidden_size = 768
+    text_in = BOW + 768 + KNUM * len(TSIZES)
+    opt.text_mapping_size = [text_in, 8]
+    ref_net = ref.model.FancyRec(opt).eval()
+    with torch.no_grad():
+        bn = ref_net.fusion_encoding.projection_head[1]
+        bn.running_mean.uniform_(-0.3, 0.3)
+        bn.running_var.uniform_(0.5, 1.5)
+
+    from fancyrec_tpu.train import checkpoints
+    ckpt_path = str(tmp_path / "ref_tf.pth.tar")
+    torch.save({"epoch": 1, "model": ref_net.state_dict(), "best_rsum": 0.0,
+                "opt": opt, "Eiters": 0}, ckpt_path)
+    ckpt = checkpoints.load_any(ckpt_path)
+    cfg = ckpt["config"]
+    cfg.max_frames, cfg.max_tokens = 7, 9
+    cfg.finalize()
+
+    from fancyrec_tpu.models import FancyRec
+    from fancyrec_tpu.models.encoders import TextBatch, VisualBatch
+    ours = FancyRec(cfg)
+    variables = {"params": ckpt["model"]["params"]}
+    if ckpt["model"].get("batch_stats"):
+        variables["batch_stats"] = ckpt["model"]["batch_stats"]
+
+    rng = np.random.RandomState(9)
+    bsz = 5
+    brand_ids = rng.randint(0, BRANDS, bsz)
+    vlen = np.sort(rng.randint(1, 8, bsz))[::-1].copy()
+    tlen = np.sort(rng.randint(2, 10, bsz))[::-1].copy()
+    frames = rng.randn(bsz, 7, FEAT).astype(np.float32)
+    vmask = (np.arange(7)[None] < vlen[:, None]).astype(np.float32)
+    frames *= vmask[:, :, None]
+    origin = (frames.sum(1) / vlen[:, None]).astype(np.float32)
+    bows = rng.rand(bsz, BOW).astype(np.float32)
+    tokens = rng.randint(1, 30522, (bsz, 9)).astype(np.int64)
+    tmask = (np.arange(9)[None] < tlen[:, None])
+    tokens = tokens * tmask
+    type_ids = np.zeros((bsz, 9), np.int64)
+
+    # the reference only ever sees token tensors of the BATCH-max length
+    # (HF's padding=True pads to batch max, data_provider.py:44); our static
+    # pad runs to max_tokens with the conv region masked to batch max.
+    # Feed torch the batch-max-trimmed tensors, exactly like its collate.
+    lt = int(tlen.max())
+    with torch.no_grad():
+        want_b, want_p = ref_net(
+            torch.tensor(brand_ids),
+            (torch.tensor(frames), torch.tensor(origin),
+             list(map(int, vlen)), torch.tensor(vmask)),
+            (torch.tensor(bows), torch.tensor(tokens[:, :lt]),
+             torch.tensor(type_ids[:, :lt]),
+             torch.tensor(tmask[:, :lt].astype(np.int64))))
+
+    got_b, got_p = ours.apply(
+        variables, jnp.asarray(brand_ids),
+        VisualBatch(frames=jnp.asarray(frames),
+                    mean_origin=jnp.asarray(origin),
+                    mask=jnp.asarray(vmask)),
+        TextBatch(bows=jnp.asarray(bows),
+                  tokens=jnp.asarray(tokens, jnp.int32),
+                  type_ids=jnp.asarray(type_ids, jnp.int32),
+                  mask=jnp.asarray(tmask.astype(np.int32))),
+        deterministic=True)
+
+    np.testing.assert_allclose(np.asarray(got_b), want_b.numpy(),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_p), want_p.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # system-level: reference trainer on our fixture; our tester reproduces
 # the reference's own test metrics from its checkpoint
