@@ -54,11 +54,21 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
     brands = np.zeros(n, np.int32)
     from fancyrec_tpu.utils.meters import Progress
     progress = Progress(n, label="encode")
-    for batch in loader:
+
+    def stage(batch):
+        """Host->device staging (runs on the prefetch thread so the mmap
+        gather + transfer of batch i+1 overlap the device encode of i)."""
         dev = {k: batch[k] for k in _MODEL_KEYS if k in batch}
         if mesh is not None:
             from fancyrec_tpu.parallel.mesh import shard_batch
             dev = shard_batch(mesh, dev, batch_axis=0)
+        else:
+            dev = jax.device_put(dev)
+        return batch, dev
+
+    from fancyrec_tpu.data.loader import prefetch_to_device
+    for batch, dev in prefetch_to_device(iter(loader), size=2,
+                                         device_put=stage):
         embs = np.asarray(encode_fn(params, batch_stats, dev))
         k = batch["n_valid"]
         # batches are sorted by caption length; idxs carries the scatter map

@@ -4,6 +4,13 @@ One call sets up jax.distributed for multi-host pods (coordinator address
 and process ids from the standard env vars or explicit args); on single
 host it is a no-op. The mesh code (parallel.mesh) then sees all global
 devices, and GSPMD handles cross-host collectives over ICI/DCN.
+
+Data semantics on a pod: every process runs the same deterministic
+loader over the same files (seeded shuffles), and shard_batch device_puts
+each full logical batch with a global NamedSharding -- each process
+materializes only its local shard, so all hosts together hold ONE copy of
+each global batch (single-logical-batch data parallelism). Checkpoint and
+metric writes are guarded to is_primary().
 """
 
 from __future__ import annotations
