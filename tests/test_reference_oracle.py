@@ -454,14 +454,23 @@ def test_our_tester_reproduces_reference_trainer_scores(ref, tmp_path,
     ref.trainer.main()
     out = capsys.readouterr().out
 
-    # the reference validates after every epoch; take its LAST test-phase
-    # metric block (the final epoch = the saved best on this fixture,
-    # scores improve monotonically here)
-    want = {}
+    # the reference validates after every epoch; model_best.pth.tar holds
+    # the BEST epoch, so compare against the metric block with the highest
+    # composite score (robust to a non-final best epoch)
+    blocks = {}
     for name, pat in _METRIC_RE.items():
         matches = re.findall(pat, out)
         assert matches, "reference output missing %s" % name
-        want[name] = float(matches[-1])
+        blocks[name] = [float(x) for x in matches]
+    n_blocks = len(blocks["auc"])
+    assert all(len(v) == n_blocks for v in blocks.values())
+    composites = [
+        (blocks["auc"][i] + blocks["ndcg10"][i] + blocks["ndcg50"][i]) * 100
+        + blocks["r1"][i] + blocks["r5"][i] + blocks["r10"][i]
+        for i in range(n_blocks)
+    ]
+    best_i = max(range(n_blocks), key=lambda i: composites[i])
+    want = {name: vals[best_i] for name, vals in blocks.items()}
     assert want["auc"] > 0.8, "reference failed to learn the fixture: %s" % want
 
     logdir = os.path.join(root, "model", "ref_run")
