@@ -66,7 +66,15 @@ python -m fancyrec_tpu.train.trainer $trainCollection $valCollection $testCollec
     --measure $measure --cost_style $cost_style \
     --brand_aspect $brand_aspect
 
-# evaluate on process 0 only (the tester shards over local devices)
-if [ "${JAX_PROCESS_ID:-0}" = "0" ]; then
+# Evaluate once, not on every worker. Run eval here only when this host is
+# EXPLICITLY process 0, or when no pod env is present at all (single host).
+# In autodetect pod mode JAX_PROCESS_ID is unset on every worker, so run
+# bin/test_pod_instance.sh on one host afterwards instead.
+if [ "${JAX_PROCESS_ID:-}" = "0" ]; then
     bash "$(dirname "$0")/test_instance.sh" "$postfix"
+elif [ -z "${JAX_COORDINATOR_ADDRESS:-}" ] && [ -z "${TPU_WORKER_HOSTNAMES:-}" ]; then
+    bash "$(dirname "$0")/test_instance.sh" "$postfix"
+else
+    echo "pod autodetect mode: skipping eval on this worker;" \
+         "run bin/test_pod_instance.sh $postfix on one host"
 fi

@@ -66,10 +66,21 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
             dev = jax.device_put(dev)
         return batch, dev
 
+    def fetch(out):
+        """Device -> host. On a multi-host pod the jit output inherits the
+        global 'data' sharding and spans non-addressable devices; every
+        process needs the full batch to scatter into its local copy, so
+        all-gather across processes first."""
+        if mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                out, tiled=True))
+        return np.asarray(out)
+
     from fancyrec_tpu.data.loader import prefetch_to_device
     for batch, dev in prefetch_to_device(iter(loader), size=2,
                                          device_put=stage):
-        embs = np.asarray(encode_fn(params, batch_stats, dev))
+        embs = fetch(encode_fn(params, batch_stats, dev))
         k = batch["n_valid"]
         # batches are sorted by caption length; idxs carries the scatter map
         idxs = batch["idxs"]
@@ -142,21 +153,26 @@ def test_post_ranking(model, params, brand_num: int, post_embs, brands,
     scores -inf and excludes from pos/neg counts) and sharded, so the
     similarity matmul and per-brand statistics run distributed."""
     aspects = brand_embeddings(model, params, brand_num)
-    post_embs = jnp.asarray(post_embs)
-    brands = jnp.asarray(brands, jnp.int32)
     if mesh is not None and int(mesh.devices.shape[0]) > 1:
+        # pad on HOST and place each shard directly (a jnp pad would first
+        # materialize the full matrix on device 0, then reshard -- a wasted
+        # full copy at the 1M-post scale)
         from jax.sharding import NamedSharding, PartitionSpec as P
+        post_embs = np.asarray(post_embs)
+        brands = np.asarray(brands, np.int32)
         shards = int(mesh.devices.shape[0])
         pad = (-post_embs.shape[0]) % shards
         if pad:
-            post_embs = jnp.concatenate(
-                [post_embs, jnp.ones((pad, post_embs.shape[1]),
-                                     post_embs.dtype)])
-            brands = jnp.concatenate(
-                [brands, jnp.full((pad,), -1, jnp.int32)])
+            post_embs = np.concatenate(
+                [post_embs, np.ones((pad, post_embs.shape[1]),
+                                    post_embs.dtype)])
+            brands = np.concatenate([brands, np.full(pad, -1, np.int32)])
         post_embs = jax.device_put(
             post_embs, NamedSharding(mesh, P("data", None)))
         brands = jax.device_put(brands, NamedSharding(mesh, P("data")))
+    else:
+        post_embs = jnp.asarray(post_embs)
+        brands = jnp.asarray(brands, jnp.int32)
     scores = cosine_sim_matrix(aspects, post_embs)
     m = ranking_metrics_jax(scores, brands, brand_num)
     return RankingMetrics(*[float(x) for x in m])

@@ -59,3 +59,23 @@ def _int_env(name: str) -> Optional[int]:
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0
+
+
+def assert_agreement(name: str, value: int) -> None:
+    """Multi-host guard: every process must hold the same value (e.g. the
+    auto-resume epoch found on disk). Checkpoints are written by the
+    primary only, so on a non-shared filesystem the other hosts would
+    silently restart from scratch while the primary resumes -- diverging
+    into a collective hang. Raises with a clear message instead. No-op on
+    a single process."""
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    primary = int(multihost_utils.broadcast_one_to_all(np.int32(value)))
+    if primary != int(value):
+        raise RuntimeError(
+            "%s disagrees across hosts (process %d sees %d, primary sees "
+            "%d): multi-host resume requires the checkpoint directory on a "
+            "shared filesystem" % (name, jax.process_index(), value, primary))

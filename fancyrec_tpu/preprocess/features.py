@@ -12,8 +12,6 @@ emits the txt lines for byte-level pipeline parity checks).
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from typing import Callable, Iterable, Iterator, Optional, Tuple
 
 import numpy as np
@@ -69,30 +67,17 @@ def extract_features(stream: Iterable[Tuple[str, np.ndarray]],
         params = params if params is not None else init_random_params()
         extract_fn = make_extractor(params, batch_size)
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    _END = object()
-
-    def producer():
-        # decode errors must fail the extraction, not truncate the BigFile
-        try:
-            for item in _batched(stream, batch_size):
-                q.put(item)
-            q.put(_END)
-        except BaseException as exc:  # noqa: BLE001 - re-raised below
-            q.put(exc)
-
-    threading.Thread(target=producer, daemon=True).start()
+    # decode runs on the prefetch thread, overlapping the TPU forward;
+    # producer exceptions re-raise here (never silently truncate the
+    # BigFile) -- same machinery as the training loader
+    from fancyrec_tpu.data.loader import prefetch_to_device
+    batches = prefetch_to_device(_batched(stream, batch_size),
+                                 size=prefetch, device_put=lambda x: x)
 
     txt = open(txt_path, "w") if txt_path else None
     written = 0
     with BigFileWriter(out_dir) as w:
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            names, images = item
+        for names, images in batches:
             feats = np.asarray(extract_fn(images))[: len(names)]
             written += w.write_batch(names, feats)
             if txt is not None:

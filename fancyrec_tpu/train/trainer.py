@@ -29,7 +29,8 @@ from fancyrec_tpu.io.bigfile import ImageBigFile
 from fancyrec_tpu.io.dictfile import read_dict
 from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
 from fancyrec_tpu.losses import init_queue_state
-from fancyrec_tpu.parallel.distributed import initialize_multihost, is_primary
+from fancyrec_tpu.parallel.distributed import (
+    assert_agreement, initialize_multihost, is_primary)
 from fancyrec_tpu.parallel.mesh import build_mesh, shard_batch, shard_state
 from fancyrec_tpu.train import checkpoints
 from fancyrec_tpu.train.state import (
@@ -155,6 +156,7 @@ def train_epoch(train_step, state, loader, accumulation_step: int,
 
 
 def _latest_epoch_checkpoint(logdir: str):
+    """-> (epoch, path) of the newest epoch checkpoint, or (-1, None)."""
     import re as _re
     best = (-1, None)
     if os.path.isdir(logdir):
@@ -162,7 +164,7 @@ def _latest_epoch_checkpoint(logdir: str):
             m = _re.match(r"checkpoint_epoch_(\d+)\.pth\.tar$", f)
             if m and int(m.group(1)) > best[0]:
                 best = (int(m.group(1)), os.path.join(logdir, f))
-    return best[1]
+    return best
 
 
 class MetricsLog:
@@ -207,7 +209,9 @@ def _run(cfg: Config, mesh):
         if check_to_skip(os.path.join(cfg.logger_name, "val_metric.txt"),
                          cfg.overwrite):
             sys.exit(0)
-        latest = _latest_epoch_checkpoint(cfg.logger_name)
+        latest_epoch, latest = _latest_epoch_checkpoint(cfg.logger_name)
+        # every host must resolve the same checkpoint (shared-FS guard)
+        assert_agreement("auto_resume latest epoch", latest_epoch)
         if latest and not cfg.resume:
             cfg.resume = latest
             print("auto_resume: continuing from %s" % latest)

@@ -78,16 +78,3 @@ class Progress:
             self.stream.flush()
             self._last = now
 
-
-def gen_adj(a):
-    """Symmetrically normalized GCN adjacency: D^-1/2 A^T D^-1/2 with
-    D = diag(rowsum(A)) (reference util/util.py:10-14 -- dead code there,
-    zero importers; ported for inventory completeness as a plain jnp op).
-    Note the reference transposes A *after* the right-multiplication, so
-    the result is (A D)^T D = D A^T D, faithfully kept."""
-    import jax.numpy as jnp
-
-    a = jnp.asarray(a, jnp.float32)
-    d = jnp.power(jnp.sum(a, axis=1), -0.5)
-    dm = jnp.diag(d)
-    return jnp.matmul(jnp.matmul(a, dm).T, dm)

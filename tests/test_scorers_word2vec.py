@@ -88,7 +88,7 @@ def test_ave_word2vec(w2v_store):
 
 def test_gen_adj_matches_reference_formula():
     import numpy as np
-    from fancyrec_tpu.utils.meters import gen_adj
+    from fancyrec_tpu.ops.graph import gen_adj
 
     rng = np.random.RandomState(0)
     a = (rng.rand(6, 6) > 0.4).astype(np.float32) + np.eye(6, dtype=np.float32)
