@@ -195,9 +195,19 @@ ASPECTS, BRANDS, COMMON = 9, 4, 16
 TSIZES, VSIZES = [2, 3], [2, 3, 4]
 
 
-def _ref_opt(fusion_style="ph"):
-    text_in = BOW + 2 * RNN + KNUM * len(TSIZES)
-    vis_in = 2 * FEAT + 2 * VRNN + KNUM * len(VSIZES)
+def _ref_opt(fusion_style="ph", concate="full", level_vis="1+2+3"):
+    conv_t, conv_v = KNUM * len(TSIZES), KNUM * len(VSIZES)
+    if concate == "full":
+        text_in = BOW + 2 * RNN + conv_t
+        vis_in = 2 * FEAT + 2 * VRNN + conv_v
+    else:
+        # reference TextEncoder 'reduced' is fixed at level 2+3
+        # (model.py:289); VisualEncoder 'reduced' switches on level_vis
+        # (model.py:187-202)
+        text_in = 2 * RNN + conv_t
+        vis_in = {"1+2": 2 * VRNN + 2 * FEAT, "1+3": conv_v + 2 * FEAT,
+                  "2+3": 2 * VRNN + conv_v, "1": 2 * FEAT,
+                  "2": 2 * VRNN, "3": conv_v}[level_vis]
     return argparse.Namespace(
         trainCollection="insCartrain", valCollection="insCarval",
         testCollection="insCartest",
@@ -210,8 +220,8 @@ def _ref_opt(fusion_style="ph"):
         visual_feat_dim=FEAT, visual_rnn_size=VRNN, visual_kernel_num=KNUM,
         visual_kernel_sizes=VSIZES, visual_norm=False,
         text_mapping_size=[text_in, 8], visual_mapping_size=[vis_in, 8],
-        bow_vocab_size=BOW, dropout=0.2, concate="full",
-        level_vis="1+2+3", level_txt="1+2+3",
+        bow_vocab_size=BOW, dropout=0.2, concate=concate,
+        level_vis=level_vis, level_txt="1+2+3",
         fusion_style=fusion_style, prj_head_output=False,
         single_modal_visual=False, single_modal_text=False,
         loss_fun="cl", cost_style="mean", measure="cosine",
@@ -224,10 +234,17 @@ def _ref_opt(fusion_style="ph"):
         rootpath="/tmp")
 
 
-@pytest.mark.parametrize("fusion_style", ["ph", "fc"])
-def test_bigru_model_forward_matches_reference(ref, tmp_path, fusion_style):
+@pytest.mark.parametrize("fusion_style,concate,level_vis", [
+    ("ph", "full", "1+2+3"),
+    ("fc", "full", "1+2+3"),
+    ("attn", "full", "1+2+3"),      # bilinear cross-modal fusion, no MFC
+    ("ph", "reduced", "2+3"),
+    ("ph", "reduced", "1"),
+])
+def test_bigru_model_forward_matches_reference(ref, tmp_path, fusion_style,
+                                               concate, level_vis):
     torch.manual_seed(0)
-    opt = _ref_opt(fusion_style)
+    opt = _ref_opt(fusion_style, concate=concate, level_vis=level_vis)
     ref_net = ref.model.FancyRec(opt).eval()
     # non-trivial BN stats in the projection head
     if fusion_style == "ph":
