@@ -69,9 +69,12 @@ def ref(tmp_path_factory):
         import loss_ctrs as ref_loss_ctrs
         import model as ref_model
         import trainer as ref_trainer
+        import util.data_provider as ref_dp
+        from preprocess.text2vec import get_text_encoder as ref_get_text_encoder
         yield types.SimpleNamespace(
             loss=ref_loss, loss_ctrs=ref_loss_ctrs, model=ref_model,
-            trainer=ref_trainer)
+            trainer=ref_trainer, dp=ref_dp,
+            get_text_encoder=ref_get_text_encoder)
     finally:
         sys.path.remove(REF)
         transformers.BertTokenizer.from_pretrained = orig_from_pretrained
@@ -503,3 +506,113 @@ def test_our_tester_reproduces_reference_trainer_scores(ref, tmp_path,
         assert got[name] == pytest.approx(want[name], abs=2e-3), name
     for name in ("r1", "r5", "r10", "medr", "meanr"):
         assert got[name] == pytest.approx(want[name], abs=1e-6), name
+
+
+# ---------------------------------------------------------------------------
+# data pipeline: reference Dataset4DualEncoding + collate vs our
+# PostDataset.gather_batch on the same fixture
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("text_net", ["bi-gru", "transformers"])
+def test_batches_match_reference_collate(ref, tmp_path, text_net):
+    """Batch-for-batch parity of the online data pipeline: same caption
+    sort, frame padding/mask, uncapped mean-frame vector, BoW vectors,
+    token streams, and scatter indices as the reference DataLoader."""
+    import argparse as _ap
+
+    from fancyrec_tpu.data.dataset import PostDataset, load_info
+    from fancyrec_tpu.data.loader import BatchLoader
+    from fancyrec_tpu.data.tokenizer import WordPieceTokenizer
+    from fancyrec_tpu.io.bigfile import ImageBigFile
+    from fancyrec_tpu.io.dictfile import read_dict
+    from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
+    from fancyrec_tpu.utils.fixture import make_fixture
+
+    import torch.utils.data as tdata
+    import transformers
+
+    root = str(tmp_path)
+    make_fixture(root, brand_num=3, videos_per_brand=4, imgs_per_brand=4,
+                 feat_dim=16, frames_per_video=4, seed=3)
+    coll = "insCartest"
+    cap_file = os.path.join(root, coll, "TextData", "%s.caption.txt" % coll)
+    vf_dir = os.path.join(root, coll, "FeatureData", "resnet152_dim_16")
+    if_dir = os.path.join(root, coll, "FeatureData", "imgfeat_dim_16")
+    bow_vocab = load_vocab(os.path.join(root, "insCartrain", "TextData",
+                                        "vocabulary", "bow",
+                                        "word_vocab_5.pkl"))
+    rnn_vocab = load_vocab(os.path.join(root, "insCartrain", "TextData",
+                                        "vocabulary", "rnn",
+                                        "word_vocab_5.pkl"))
+
+    # --- reference side: its BigFile reader, Bow2Vec, dataset, collate ---
+    from util.imgbigfile import ImageBigFile as RefBigFile
+    opt = _ap.Namespace(rootpath=root)
+    ref_ds = ref.dp.Dataset4DualEncoding(
+        opt, cap_file, RefBigFile(vf_dir), RefBigFile(if_dir),
+        ref.get_text_encoder("bow")(bow_vocab), rnn_vocab,
+        text_net=text_net,
+        video2frames=read_dict(os.path.join(vf_dir, "video2frames.txt")))
+    collate = (ref.dp.collate_frame_gru_fn if text_net == "bi-gru"
+               else ref.dp.collate_frame_transformers_fn)
+    if text_net == "transformers":
+        # bind the reference's module-global tokenizer to the fixture vocab
+        # (module import bound it to the stub vocab)
+        ref.dp.tokenizer = transformers.BertTokenizer(
+            os.path.join(root, "bert_vocab.txt"))
+    loader = tdata.DataLoader(ref_ds, batch_size=6, shuffle=False,
+                              collate_fn=collate)
+
+    # --- our side: same artifacts through our stack ---
+    img_info, cls_info = load_info(root)
+    tok = (WordPieceTokenizer(os.path.join(root, "bert_vocab.txt"))
+           if text_net == "transformers" else None)
+    ours_ds = PostDataset(
+        cap_file, ImageBigFile(vf_dir), ImageBigFile(if_dir),
+        Bow2Vec(bow_vocab), text_net=text_net, rnn_vocab=rnn_vocab,
+        tokenizer=tok,
+        video2frames=read_dict(os.path.join(vf_dir, "video2frames.txt")),
+        img_info=img_info, cls_info=cls_info,
+        max_frames=8, max_tokens=24, max_words=16)
+    ours = BatchLoader(ours_ds, 6, final_batch="pad")
+
+    assert len(ref_ds) == len(ours_ds) and len(ref_ds) % 6 == 0
+
+    for want, got in zip(loader, ours):
+        brand_ids, video_data, text_data, idxs, cap_ids, video_ids = want
+        frames_w, origin_w, vlens_w, vmask_w = video_data
+
+        np.testing.assert_array_equal(np.asarray(brand_ids),
+                                      got["brand_ids"])
+        assert list(idxs) == got["idxs"].tolist()
+        tmax = frames_w.shape[1]
+        np.testing.assert_allclose(got["frames"][:, :tmax],
+                                   frames_w.numpy(), atol=1e-6)
+        assert got["frames"][:, tmax:].sum() == 0
+        np.testing.assert_allclose(got["origin"], origin_w.numpy(),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(got["vmask"][:, :tmax],
+                                      vmask_w.numpy())
+
+        if text_net == "bi-gru":
+            tokens_w, bows_w, tlens_w, wmask_w = text_data
+            np.testing.assert_allclose(got["bows"], bows_w.numpy(),
+                                       atol=1e-6)
+            lmax = tokens_w.shape[1]
+            np.testing.assert_array_equal(
+                got["tokens"][:, :lmax], tokens_w.numpy().astype(np.int32))
+            np.testing.assert_array_equal(
+                got["tmask"][:, :lmax], wmask_w.numpy().astype(np.int32))
+        else:
+            bows_w, tokens_w, type_ids_w, masks_w = text_data
+            np.testing.assert_allclose(got["bows"], bows_w.numpy(),
+                                       atol=1e-6)
+            lmax = tokens_w.shape[1]
+            np.testing.assert_array_equal(
+                got["tokens"][:, :lmax], tokens_w.numpy().astype(np.int32))
+            np.testing.assert_array_equal(
+                got["tmask"][:, :lmax], masks_w.numpy().astype(np.int32))
+            np.testing.assert_array_equal(
+                got["type_ids"][:, :lmax],
+                type_ids_w.numpy().astype(np.int32))
+        assert got["tokens"][:, lmax:].sum() == 0
