@@ -124,3 +124,78 @@ def test_vocab_parity_with_reference(refpp, tmp_path):
             [line.split(" ", 1)[1] for line in caps], style, threshold=2)
         assert ours.word2idx == ref_vocab.word2idx, style
         assert len(ours) == len(ref_vocab)
+
+
+def test_caption_splits_match_reference(refpp, tmp_path):
+    """The seeded 80/5/15 per-brand splits and the emitted caption files
+    must be byte-identical to the reference's videos_split / imgs_split /
+    merge functions run on the same intermediate artifacts."""
+    import json
+    import shutil
+
+    from fancyrec_tpu.preprocess import captions as C
+    from fancyrec_tpu.preprocess import pipeline as P
+    from fancyrec_tpu.preprocess import videos as V
+
+    import preprocess_captions as ref_caps  # /root/reference/preprocess
+
+    # --- scrape tree: 21 videos (files only; never decoded) + 21 jpgs ---
+    src = str(tmp_path / "scrape")
+    from PIL import Image
+    for b, brand in enumerate(["audi", "bmw", "cadillac"]):
+        d = os.path.join(src, brand)
+        os.makedirs(d)
+        items = []
+        for i in range(21):
+            code = "%s_vid%02d" % (brand, i)
+            open(os.path.join(d, code + ".mp4"), "wb").close()
+            items.append({
+                "__typename": "GraphVideo", "is_video": True,
+                "shortcode": code,
+                "edge_media_to_caption": {"edges": [
+                    {"node": {"text": "a fast %s car at night #%d"
+                              % (brand, i)}}]},
+                "tags": ["car", brand]})
+        for i in range(21):
+            code = "%s_img%02d" % (brand, i)
+            Image.new("RGB", (8, 8), (b * 30 + i, 0, 0)).save(
+                os.path.join(d, code + ".jpg"))
+            items.append({
+                "__typename": "GraphImage", "is_video": False,
+                "shortcode": code,
+                "edge_media_to_caption": {"edges": [
+                    {"node": {"text": "new red %s on the road %d!"
+                              % (brand, i)}}]}})
+        with open(os.path.join(d, "scrape.json"), "w") as f:
+            json.dump({"GraphImages": items}, f)
+
+    # --- shared intermediates through OUR extractors/info writers ---
+    vertical = "insCar"
+    ours_root = str(tmp_path / "ours")
+    out_dir = os.path.join(ours_root, vertical)
+    C.extract_video_captions(src, src, out_dir)
+    C.extract_image_captions(src, src, out_dir)
+    V.video2idx_and_idx2video(src, src, os.path.join(out_dir, "video_info.txt"))
+    P.img2idx_and_idx2img(src, src, os.path.join(out_dir, "img_info.txt"))
+
+    ref_root = str(tmp_path / "ref")
+    shutil.copytree(out_dir, os.path.join(ref_root, vertical))
+
+    # --- ours ---
+    C.videos_split_train_val_test(src, out_dir, vertical, src)
+    C.imgs_split_train_val_test(src, out_dir, vertical, src)
+    C.merge_captions(out_dir, vertical)
+
+    # --- reference ---
+    ref_caps.videos_split_train_val_test(src, ref_root, vertical, src)
+    ref_caps.imgs_split_train_val_test(src, ref_root, vertical, src)
+    ref_caps.merge_captions_in_videos_and_imgs(ref_root, vertical)
+
+    for split in ("train", "val", "test"):
+        for kind in (".caption.txt", ".img_caption.txt"):
+            fname = "%s%s%s" % (vertical, split, kind)
+            assert _read(os.path.join(ref_root, vertical, fname)) == \
+                _read(os.path.join(out_dir, fname)), fname
+    # sanity: the 16/1/3-of-20 sizes actually materialized
+    train = _read(os.path.join(out_dir, "insCartrain.caption.txt"))
+    assert train.count(b"\n") == 2 * 3 * 16  # 16 videos + 16 imgs per brand
