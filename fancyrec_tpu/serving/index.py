@@ -10,7 +10,8 @@ multi-chip serving.
 
 CLI:
   fancyrec-index build --checkpoint ... --rootpath ... --collection ... out/
-  fancyrec-index query out/ --brands 0,3,7 --k 10
+  fancyrec-index add out/ --rootpath ... --collection newposts
+  fancyrec-index query out/ --brands 0,3,7 --k 10 [--mesh_shape auto]
 """
 
 from __future__ import annotations
@@ -29,21 +30,19 @@ from fancyrec_tpu.ops.similarity import (
     distributed_retrieval_topk, retrieval_topk)
 
 
-def build_index(checkpoint_path: str, rootpath: str, collection: str,
-                out_dir: str, batch_size: int = 128,
-                bert_vocab: str = "", mesh=None) -> int:
-    """Encode every post of a collection into an on-disk index."""
+def _encode_collection(ckpt, rootpath: str, collection: str,
+                       batch_size: int, bert_vocab: str, mesh=None):
+    """Encode one collection with a loaded checkpoint -> (cap_ids, brands,
+    post_embs, cfg, model, params)."""
     from fancyrec_tpu.data.dataset import PostDataset, load_info
     from fancyrec_tpu.data.loader import BatchLoader
     from fancyrec_tpu.data.tokenizer import WordPieceTokenizer
-    from fancyrec_tpu.eval.evaluator import encode_data, brand_embeddings
+    from fancyrec_tpu.eval.evaluator import encode_data
     from fancyrec_tpu.io.bigfile import ImageBigFile
     from fancyrec_tpu.io.dictfile import read_dict
     from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
     from fancyrec_tpu.models import FancyRec
-    from fancyrec_tpu.train import checkpoints
 
-    ckpt = checkpoints.load_any(checkpoint_path)
     cfg = ckpt["config"]
     cfg.rootpath = rootpath
 
@@ -84,12 +83,25 @@ def build_index(checkpoint_path: str, rootpath: str, collection: str,
     batch_stats = ckpt["model"].get("batch_stats", {})
     brands, post_embs = encode_data(model, params, batch_stats, loader,
                                     cfg.common_embedding_size, mesh=mesh)
+    return dataset.caps.cap_ids, brands, post_embs, cfg, model, params
+
+
+def build_index(checkpoint_path: str, rootpath: str, collection: str,
+                out_dir: str, batch_size: int = 128,
+                bert_vocab: str = "", mesh=None) -> int:
+    """Encode every post of a collection into an on-disk index."""
+    from fancyrec_tpu.eval.evaluator import brand_embeddings
+    from fancyrec_tpu.train import checkpoints
+
+    ckpt = checkpoints.load_any(checkpoint_path)
+    cap_ids, brands, post_embs, cfg, model, params = _encode_collection(
+        ckpt, rootpath, collection, batch_size, bert_vocab, mesh)
 
     # cap_ids contain '#' (the caption-id grammar), so the index store uses
     # a tab-delimited id.txt -- same BigFile layout otherwise
     with BigFileWriter(out_dir, ndims=cfg.common_embedding_size,
                        delimiter="\t") as w:
-        w.write_batch(dataset.caps.cap_ids, post_embs)
+        w.write_batch(cap_ids, post_embs)
     np.save(os.path.join(out_dir, "brands.npy"), brands)
     # precompute brand-tower embeddings so queries don't need the model
     b_embs = np.asarray(brand_embeddings(model, params, cfg.brand_num))
@@ -99,8 +111,64 @@ def build_index(checkpoint_path: str, rootpath: str, collection: str,
                             "checkpoint": os.path.abspath(checkpoint_path),
                             "brand_num": cfg.brand_num,
                             "dim": cfg.common_embedding_size,
-                            "n_posts": len(dataset)}))
-    return len(dataset)
+                            "n_posts": len(cap_ids)}))
+    return len(cap_ids)
+
+
+def add_collection_to_index(index_dir: str, rootpath: str, collection: str,
+                            batch_size: int = 128, bert_vocab: str = "",
+                            mesh=None) -> int:
+    """Encode a new collection with the index's own checkpoint and append
+    its posts (incremental index update; no rebuild)."""
+    from fancyrec_tpu.train import checkpoints
+
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        meta = json.loads(f.read())
+    ckpt = checkpoints.load_any(meta["checkpoint"])
+    cap_ids, brands, post_embs, _, _, _ = _encode_collection(
+        ckpt, rootpath, collection, batch_size, bert_vocab, mesh)
+    return append_to_index(index_dir, cap_ids, post_embs, brands)
+
+
+def append_to_index(index_dir: str, cap_ids, post_embs, brands) -> int:
+    """Incrementally add posts to an existing index (no rebuild).
+
+    feature.bin is row-major float32, so new rows append in place;
+    id.txt / shape.txt / brands.npy / index_meta.json are rewritten.
+    Duplicate cap_ids are rejected (BigFile names are unique). Returns
+    the new total post count. Open PostIndex instances must refresh().
+    """
+    store = BigFileReader(index_dir, delimiter="\t")
+    post_embs = np.asarray(post_embs, np.float32)
+    brands = np.asarray(brands, np.int32)
+    if post_embs.shape[1] != store.ndims:
+        raise ValueError("dim mismatch: index %d, new rows %d"
+                         % (store.ndims, post_embs.shape[1]))
+    if len(cap_ids) != len(post_embs) or len(brands) != len(post_embs):
+        raise ValueError("cap_ids/brands/post_embs length mismatch")
+    dup = set(cap_ids) & set(store.names)
+    if dup:
+        raise ValueError("duplicate post ids: %s" % sorted(dup)[:5])
+    if np.isnan(post_embs).any():
+        raise ValueError("NaN rows in appended embeddings")
+
+    with open(os.path.join(index_dir, "feature.bin"), "ab") as f:
+        f.write(np.ascontiguousarray(post_embs).tobytes())
+    names = list(store.names) + list(cap_ids)
+    with open(os.path.join(index_dir, "id.txt"), "w", encoding="utf-8") as f:
+        f.write("\t".join(names))
+    with open(os.path.join(index_dir, "shape.txt"), "w") as f:
+        f.write("%d %d" % (len(names), store.ndims))
+    old_brands = np.load(os.path.join(index_dir, "brands.npy"))
+    np.save(os.path.join(index_dir, "brands.npy"),
+            np.concatenate([old_brands.astype(np.int32), brands]))
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    with open(meta_path) as f:
+        meta = json.loads(f.read())
+    meta["n_posts"] = len(names)
+    with open(meta_path, "w") as f:
+        f.write(json.dumps(meta))
+    return len(names)
 
 
 class PostIndex:
@@ -116,6 +184,7 @@ class PostIndex:
 
     def __init__(self, index_dir: str, device_resident: bool = True,
                  mesh=None, mesh_axis: str = "data"):
+        self._index_dir = index_dir
         self.store = BigFileReader(index_dir, delimiter="\t")
         self.cap_ids = self.store.names
         self.brands = np.load(os.path.join(index_dir, "brands.npy"))
@@ -134,6 +203,18 @@ class PostIndex:
         self._query_cache = {}
         if device_resident:
             self.posts()
+
+    def refresh(self) -> None:
+        """Reload after append_to_index: new store view, dropped device
+        cache and jit cache (the program is shape-specialized)."""
+        self.store = BigFileReader(self._index_dir, delimiter="\t")
+        self.cap_ids = self.store.names
+        self.brands = np.load(os.path.join(self._index_dir, "brands.npy"))
+        with open(os.path.join(self._index_dir, "index_meta.json")) as f:
+            self.meta = json.loads(f.read())
+        self.n_posts = self.store.nr_of_rows
+        self._posts = None
+        self._query_cache = {}
 
     def posts(self) -> jnp.ndarray:
         if self._posts is None:
@@ -195,6 +276,15 @@ def main(argv=None):
     b.add_argument("--mesh_shape", default="",
                    help="'auto' = encode data-parallel over all local "
                         "devices; 'N,1' explicit; '' = single device")
+    ad = sub.add_parser("add")
+    ad.add_argument("index_dir")
+    ad.add_argument("--rootpath", required=True)
+    ad.add_argument("--collection", required=True,
+                    help="new collection to encode (with the index's own "
+                         "checkpoint) and append")
+    ad.add_argument("--batch_size", type=int, default=128)
+    ad.add_argument("--bert_vocab", default="")
+    ad.add_argument("--mesh_shape", default="")
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("--brands", required=True,
@@ -212,6 +302,10 @@ def main(argv=None):
         n = build_index(a.checkpoint, a.rootpath, a.collection, a.out_dir,
                         a.batch_size, a.bert_vocab, mesh=mesh)
         print(json.dumps({"indexed_posts": n, "out": a.out_dir}))
+    elif a.cmd == "add":
+        n = add_collection_to_index(a.index_dir, a.rootpath, a.collection,
+                                    a.batch_size, a.bert_vocab, mesh=mesh)
+        print(json.dumps({"total_posts": n, "index": a.index_dir}))
     else:
         index = PostIndex(a.index_dir, mesh=mesh)
         ids = [int(x) for x in a.brands.split(",")]

@@ -102,3 +102,47 @@ def test_sharded_query_matches_single_device(tmp_path):
     mv, mn = sharded.query([0, 1, 2, 3], k=9)
     np.testing.assert_allclose(mv, sv, atol=1e-5)
     assert mn == sn
+
+
+def test_incremental_append_and_refresh(tmp_path):
+    """append_to_index adds rows without a rebuild; a refreshed PostIndex
+    ranks old and new posts together, equal to a from-scratch index."""
+    import pytest
+    from fancyrec_tpu.serving.index import append_to_index
+
+    rng = np.random.RandomState(7)
+    idx_dir = str(tmp_path / "toy")
+    old = _toy_index(idx_dir, n_posts=40, dim=16, seed=7)
+    index = PostIndex(idx_dir)
+    index.query([0, 1], k=5)  # populate caches pre-append
+
+    new_embs = rng.randn(15, 16).astype(np.float32)
+    new_names = ["new%d#enc#0" % i for i in range(15)]
+    new_brands = rng.randint(0, 4, 15)
+    total = append_to_index(idx_dir, new_names, new_embs, new_brands)
+    assert total == 55
+
+    index.refresh()
+    assert index.n_posts == 55
+    assert index.cap_ids[-1] == "new14#enc#0"
+    np.testing.assert_array_equal(index.brands[-15:], new_brands)
+    vals, names = index.query([0, 1, 2, 3], k=8)
+
+    # equal to an index built from scratch over the same 55 rows
+    full_dir = str(tmp_path / "full")
+    from fancyrec_tpu.io.bigfile import BigFileWriter
+    with BigFileWriter(full_dir, ndims=16, delimiter="\t") as w:
+        w.write_batch(["post%d#enc#0" % i for i in range(40)], old)
+        w.write_batch(new_names, new_embs)
+    for aux in ("brands.npy", "brand_embeddings.npy", "index_meta.json"):
+        import shutil
+        shutil.copy(os.path.join(idx_dir, aux), os.path.join(full_dir, aux))
+    fresh = PostIndex(full_dir)
+    fvals, fnames = fresh.query([0, 1, 2, 3], k=8)
+    np.testing.assert_allclose(vals, fvals, atol=1e-6)
+
+    # duplicates and dim mismatches are rejected
+    with pytest.raises(ValueError, match="duplicate"):
+        append_to_index(idx_dir, ["new0#enc#0"], rng.randn(1, 16), [0])
+    with pytest.raises(ValueError, match="dim mismatch"):
+        append_to_index(idx_dir, ["x"], rng.randn(1, 8), [0])
