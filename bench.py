@@ -96,7 +96,6 @@ def bench_train_resident(n_super: int = 8, iters: int = 4) -> dict:
     step = make_train_step(model, cfg, tx)
 
     rng = np.random.RandomState(0)
-    stack = {}
     supers = []
     for _ in range(n_super):
         micro = [g._example_batch(cfg, cfg.batch_size, rng)

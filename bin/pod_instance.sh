@@ -72,7 +72,11 @@ python -m fancyrec_tpu.train.trainer $trainCollection $valCollection $testCollec
 # bin/test_pod_instance.sh on one host afterwards instead.
 if [ "${JAX_PROCESS_ID:-}" = "0" ]; then
     bash "$(dirname "$0")/test_instance.sh" "$postfix"
-elif [ -z "${JAX_COORDINATOR_ADDRESS:-}" ] && [ -z "${TPU_WORKER_HOSTNAMES:-}" ]; then
+elif [ -z "${JAX_COORDINATOR_ADDRESS:-}" ] && \
+     ! printf '%s' "${TPU_WORKER_HOSTNAMES:-}" | grep -q ,; then
+    # single host: no coordinator and at most one worker entry (a tunneled
+    # single chip exports TPU_WORKER_HOSTNAMES=localhost -- same parsing
+    # as initialize_multihost)
     bash "$(dirname "$0")/test_instance.sh" "$postfix"
 else
     echo "pod autodetect mode: skipping eval on this worker;" \

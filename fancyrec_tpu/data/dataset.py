@@ -103,6 +103,10 @@ class PostDataset:
         for i, vid in enumerate(self.caps.visual_ids):
             if vid.startswith("video"):
                 frames = video2frames[vid]
+                if not frames:
+                    raise ValueError(
+                        "video %r has no frames in video2frames (would "
+                        "silently yield NaN mean-frame features)" % vid)
                 self.brand_ids[i] = int(frames[0].split("_")[-1][3:])
                 rows = np.array([video_feat.name2index[f] for f in frames],
                                 dtype=np.int64)

@@ -40,6 +40,10 @@ class VisDataset:
             # raw dict order)
             for vid in sorted(video2frames):
                 frames = video2frames[vid]
+                if not frames:
+                    raise ValueError(
+                        "video %r has no frames (a zero-frame entry would "
+                        "silently produce NaN mean-frame embeddings)" % vid)
                 self.names.append(vid)
                 self._stores.append(video_feat)
                 self._rows.append(np.array(

@@ -140,7 +140,13 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
         if n_valid is not None:
             scores = jnp.where(jnp.arange(n)[None, :] < n_valid,
                                scores, -jnp.inf)
-        vals, idxs = jax.lax.top_k(scores, k)
+        # k > N: return -inf/0 filler rows like the scan path's carry does
+        kk = min(k, n)
+        vals, idxs = jax.lax.top_k(scores, kk)
+        if kk < k:
+            vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
+                           constant_values=-jnp.inf)
+            idxs = jnp.pad(idxs, ((0, 0), (0, k - kk)))
         return vals, idxs.astype(jnp.int32)
     nb = -(-n // block)
     np_ = nb * block

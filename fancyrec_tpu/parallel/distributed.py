@@ -61,21 +61,37 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def primary_decision(value: int) -> int:
+    """Multi-host control-flow agreement: every process adopts the
+    PRIMARY's value (e.g. a skip/exit decision derived from files that
+    only exist on the primary). Identity on a single process. Prevents
+    the primary exiting while workers proceed into a collective hang."""
+    if jax.process_count() <= 1:
+        return int(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.broadcast_one_to_all(np.int32(value)))
+
+
 def assert_agreement(name: str, value: int) -> None:
     """Multi-host guard: every process must hold the same value (e.g. the
     auto-resume epoch found on disk). Checkpoints are written by the
     primary only, so on a non-shared filesystem the other hosts would
     silently restart from scratch while the primary resumes -- diverging
-    into a collective hang. Raises with a clear message instead. No-op on
-    a single process."""
+    into a collective hang. Raises ON EVERY HOST (all-gather compare, so
+    the primary fails too instead of hanging alone at its next
+    collective). No-op on a single process."""
     if jax.process_count() <= 1:
         return
     import numpy as np
     from jax.experimental import multihost_utils
 
-    primary = int(multihost_utils.broadcast_one_to_all(np.int32(value)))
-    if primary != int(value):
+    all_vals = np.asarray(
+        multihost_utils.process_allgather(np.int32(value))).reshape(-1)
+    if not (all_vals == all_vals[0]).all():
         raise RuntimeError(
-            "%s disagrees across hosts (process %d sees %d, primary sees "
-            "%d): multi-host resume requires the checkpoint directory on a "
-            "shared filesystem" % (name, jax.process_index(), value, primary))
+            "%s disagrees across hosts (process %d sees %d, all: %s): "
+            "multi-host resume requires the checkpoint directory on a "
+            "shared filesystem"
+            % (name, jax.process_index(), value, all_vals.tolist()))

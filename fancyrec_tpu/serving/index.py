@@ -149,6 +149,8 @@ def append_to_index(index_dir: str, cap_ids, post_embs, brands) -> int:
     dup = set(cap_ids) & set(store.names)
     if dup:
         raise ValueError("duplicate post ids: %s" % sorted(dup)[:5])
+    if len(set(cap_ids)) != len(cap_ids):
+        raise ValueError("duplicate ids within the appended batch")
     if np.isnan(post_embs).any():
         raise ValueError("NaN rows in appended embeddings")
 

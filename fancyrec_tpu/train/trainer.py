@@ -30,7 +30,7 @@ from fancyrec_tpu.io.dictfile import read_dict
 from fancyrec_tpu.io.vocab import Bow2Vec, load_vocab
 from fancyrec_tpu.losses import init_queue_state
 from fancyrec_tpu.parallel.distributed import (
-    assert_agreement, initialize_multihost, is_primary)
+    assert_agreement, initialize_multihost, is_primary, primary_decision)
 from fancyrec_tpu.parallel.mesh import build_mesh, shard_batch, shard_state
 from fancyrec_tpu.train import checkpoints
 from fancyrec_tpu.train.state import (
@@ -202,12 +202,16 @@ def main(argv=None):
 
 def _run(cfg: Config, mesh):
     cfg.logger_name = os.path.join(cfg.rootpath, "model", cfg.postfix)
+    # skip/exit decisions follow the PRIMARY on multi-host (its artifacts
+    # may not exist on worker filesystems): every host exits together or
+    # continues together instead of the primary exiting into a worker hang
     if cfg.auto_resume:
         # elastic restart: a finished run (val_metric.txt) still skips, but
         # a crashed run resumes from its newest epoch checkpoint instead of
         # refusing because model_best.pth.tar exists
-        if check_to_skip(os.path.join(cfg.logger_name, "val_metric.txt"),
-                         cfg.overwrite):
+        if primary_decision(check_to_skip(
+                os.path.join(cfg.logger_name, "val_metric.txt"),
+                cfg.overwrite)):
             sys.exit(0)
         latest_epoch, latest = _latest_epoch_checkpoint(cfg.logger_name)
         # every host must resolve the same checkpoint (shared-FS guard)
@@ -216,11 +220,13 @@ def _run(cfg: Config, mesh):
             cfg.resume = latest
             print("auto_resume: continuing from %s" % latest)
     else:
-        if check_to_skip(os.path.join(cfg.logger_name, "model_best.pth.tar"),
-                         cfg.overwrite):
+        if primary_decision(check_to_skip(
+                os.path.join(cfg.logger_name, "model_best.pth.tar"),
+                cfg.overwrite)):
             sys.exit(0)
-        if check_to_skip(os.path.join(cfg.logger_name, "val_metric.txt"),
-                         cfg.overwrite):
+        if primary_decision(check_to_skip(
+                os.path.join(cfg.logger_name, "val_metric.txt"),
+                cfg.overwrite)):
             sys.exit(0)
     os.makedirs(cfg.logger_name, exist_ok=True)
     logging.basicConfig(format="%(asctime)s %(message)s", level=logging.INFO)

@@ -53,10 +53,13 @@ class Progress:
     """Lightweight progress reporter: items/sec + named values."""
 
     def __init__(self, total: int, label: str = "", interval: float = 5.0,
-                 stream=sys.stdout):
+                 stream=None):
         self.total = total
         self.label = label
         self.interval = interval
+        # None = resolve sys.stdout at WRITE time: a default bound at
+        # definition/construction time outlives redirected streams (e.g.
+        # pytest capture buffers closed by an earlier test)
         self.stream = stream
         self.seen = 0
         self.start = time.time()
@@ -71,10 +74,11 @@ class Progress:
         if now - self._last >= self.interval or self.seen >= self.total:
             rate = self.seen / max(now - self.start, 1e-9)
             eta = (self.total - self.seen) / max(rate, 1e-9)
-            self.stream.write(
+            stream = self.stream if self.stream is not None else sys.stdout
+            stream.write(
                 "%s %d/%d  %.1f/s  eta %ds  %s\n"
                 % (self.label, self.seen, self.total, rate, int(eta),
                    self.values))
-            self.stream.flush()
+            stream.flush()
             self._last = now
 

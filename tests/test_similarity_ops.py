@@ -79,3 +79,16 @@ def test_matrix_strategy_matches_scan():
                                        atol=2e-5)
         if n_valid is not None:
             assert (np.asarray(im) < n_valid).all()
+
+
+def test_topk_k_exceeds_post_count():
+    """k > N must return -inf/0 filler rows (like the scan carry), not
+    crash -- 'auto' picks the matrix path exactly for small indexes."""
+    brands, posts = _case(4, n=5)
+    for strategy in ("matrix", "scan", "auto"):
+        vals, idxs = retrieval_topk(jnp.asarray(brands), jnp.asarray(posts),
+                                    k=10, block=4, strategy=strategy)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        assert vals.shape == (brands.shape[0], 10)
+        assert np.isneginf(vals[:, 5:]).all(), strategy
+        assert (np.diff(vals[:, :5], axis=1) <= 1e-6).all()
