@@ -115,6 +115,16 @@ class BigFileReader:
     def shape(self) -> List[int]:
         return [self.nr_of_rows, self.ndims]
 
+    def iter_rows(self, batch: int = 1024):
+        """Sequential (name, float32 row) stream in storage order, constant
+        memory (the reference's StreamFile, util/wordbigfile.py:63-98,
+        replaced by batched mmap reads)."""
+        for start in range(0, self.nr_of_rows, batch):
+            stop = min(start + batch, self.nr_of_rows)
+            rows = self.read_rows(np.arange(start, stop))
+            for i in range(stop - start):
+                yield self.names[start + i], rows[i]
+
     def __contains__(self, name: str) -> bool:
         return name in self.name2index
 

@@ -80,3 +80,21 @@ def test_get_visual_id():
     assert get_visual_id("img7#enc#0") == "img7"
     assert get_visual_id("clip.mp4#enc#0") == "clip"
     assert get_visual_id("pic.jpg#enc#0") == "pic"
+
+
+def test_iter_rows_streams_in_storage_order(tmp_path):
+    """iter_rows == the reference StreamFile's sequential (name, vector)
+    walk (util/wordbigfile.py:63-98)."""
+    from fancyrec_tpu.io.bigfile import BigFileWriter, WordBigFile
+
+    rng = np.random.RandomState(0)
+    names = ["w%d" % i for i in range(10)]
+    mat = rng.randn(10, 4).astype(np.float32)
+    d = str(tmp_path / "w2v")
+    with BigFileWriter(d, ndims=4, delimiter=" ") as w:
+        w.write_batch(names, mat)
+
+    store = WordBigFile(d)
+    got = list(store.iter_rows(batch=3))
+    assert [n for n, _ in got] == names
+    np.testing.assert_allclose(np.stack([r for _, r in got]), mat)
