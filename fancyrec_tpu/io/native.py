@@ -89,6 +89,11 @@ class NativeGather:
         n = len(idx)
         if out is None:
             out = np.empty((n, self.dim), np.float32)
+        elif (out.shape != (n, self.dim) or out.dtype != np.float32
+              or not out.flags["C_CONTIGUOUS"]):
+            raise ValueError(
+                "out must be C-contiguous float32 of shape (%d, %d)"
+                % (n, self.dim))
         rc = self._lib.frio_gather(
             self._handle,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
