@@ -616,3 +616,30 @@ def test_batches_match_reference_collate(ref, tmp_path, text_net):
                 got["type_ids"][:, :lmax],
                 type_ids_w.numpy().astype(np.int32))
         assert got["tokens"][:, lmax:].sum() == 0
+
+
+def test_queue_size_not_divisible_reference_crashes_ours_wraps(ref):
+    """Deliberate fix: queue_size % batch != 0 crashes the reference with
+    an IndexError on the second step (its positive mask walks mask[i][ptr]
+    past the queue edge, loss_ctrs.py:149-159); our modulo pointer wraps
+    and keeps training. Documented in README fidelity notes."""
+    from fancyrec_tpu.losses import contrastive_loss, init_queue_state
+
+    opt = argparse.Namespace(queue_size=10, common_embedding_size=4,
+                             cost_style="mean", no_queue=False,
+                             no_intra=False)
+    mod = ref.loss_ctrs.ContrastiveLoss(opt)
+    rng = np.random.RandomState(0)
+    batches = [(rng.randn(4, 4).astype(np.float32),
+                rng.randn(4, 4).astype(np.float32)) for _ in range(4)]
+
+    mod(torch.tensor(batches[0][0]), torch.tensor(batches[0][1]))
+    with pytest.raises(IndexError):
+        mod(torch.tensor(batches[1][0]), torch.tensor(batches[1][1]))
+
+    state = init_queue_state(10, 4)
+    for brand, post in batches:
+        loss, state = contrastive_loss(jnp.asarray(brand), jnp.asarray(post),
+                                       state, cost_style="mean")
+        assert np.isfinite(float(loss))
+    assert int(state.ptr) == (4 * 4) % 10
