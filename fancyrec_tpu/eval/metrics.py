@@ -11,6 +11,13 @@ Two implementations with identical semantics:
     loop over (score, brand) tuples. Runs the whole brands x posts metric
     block on-device; posts axis is shardable for the scaled (1M-post) config.
 
+Cost at index scale: exact AUC needs full per-brand order statistics, so
+the kernel is bound by one batched (brands, posts) co-sort -- 26 ms at
+51 x 4k, ~1.2 s at 51 x 1M on v5e-1 (the XLA sort floor; AUC pair counts
+do not decompose across shards without global ranks). That is the
+offline-eval path only; serving-scale retrieval uses the top-k kernels in
+ops/similarity (16 ms at 1M), which never rank the full index.
+
 Semantics notes (kept bit-faithful):
   - AUC uses *strict* comparisons: tied pos/neg scores earn zero credit.
   - Brands with no positive posts are skipped for MedR/MeanR/AUC/NDCG but
