@@ -98,3 +98,38 @@ def test_iter_rows_streams_in_storage_order(tmp_path):
     got = list(store.iter_rows(batch=3))
     assert [n for n, _ in got] == names
     np.testing.assert_allclose(np.stack([r for _, r in got]), mat)
+
+
+def test_format_check_flags_corruption(tmp_path, capsys):
+    """io/format_check (the reference's missing util/format_check.py, made
+    real) passes a clean store and flags truncation / NaN rows / dangling
+    video2frames references."""
+    import json
+    from fancyrec_tpu.io.bigfile import BigFileWriter
+    from fancyrec_tpu.io.dictfile import write_dict
+    from fancyrec_tpu.io.format_check import check_feature_dir, main
+
+    rng = np.random.RandomState(0)
+    good = str(tmp_path / "good")
+    names = ["video1_%d_cls0" % i for i in range(6)]
+    with BigFileWriter(good, ndims=4) as w:
+        w.write_batch(names, rng.randn(6, 4).astype(np.float32))
+    write_dict(os.path.join(good, "video2frames.txt"), {"video1": names})
+    assert check_feature_dir(good) == []
+    assert main([good]) == 0
+
+    bad = str(tmp_path / "bad")
+    mat = rng.randn(6, 4).astype(np.float32)
+    mat[2, 1] = np.inf  # NaN rows are dropped by the writer; inject inf
+    with BigFileWriter(bad, ndims=4) as w:
+        w.write_batch(names, mat)
+    with open(os.path.join(bad, "feature.bin"), "ab") as f:
+        f.write(b"\x00" * 7)  # trailing junk
+    write_dict(os.path.join(bad, "video2frames.txt"),
+               {"video1": names + ["video1_99_cls0"]})
+    problems = check_feature_dir(bad)
+    text = "\n".join(problems)
+    assert "trailing" in text
+    assert "non-finite" in text
+    assert "unknown frames" in text
+    assert main([bad]) == 1
