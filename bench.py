@@ -130,28 +130,35 @@ def bench_train_resident(n_super: int = 8, iters: int = 4) -> dict:
 
 
 def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
-                    k: int = 10) -> float:
-    """Posts/sec through the streaming top-k retrieval (51-brand query)."""
-    from fancyrec_tpu.ops.similarity import retrieval_topk
+                    k: int = 10, quantize: str = "") -> float:
+    """Posts/sec through the streaming top-k retrieval (51-brand query).
+    quantize='int8' pre-quantizes the index (per-row max-abs) and scores
+    int8 x int8 -> int32 on the MXU: 4x less HBM on the memory-bound
+    query."""
+    from fancyrec_tpu.ops.similarity import quantize_rows_int8, retrieval_topk
 
     # generate on device: a (n_posts, dim) host->device transfer over the
     # tunneled chip would dominate the measurement
     key = jax.random.PRNGKey(0)
     brands = jax.random.normal(key, (51, dim), jnp.float32)
     posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
-    f = jax.jit(lambda b, p: retrieval_topk(b, p, k, block=4096))
-    _ = np.asarray(f(brands, posts)[0])  # compile + drain
+    inv = None
+    if quantize == "int8":
+        posts, inv = jax.jit(quantize_rows_int8)(posts)
+    f = jax.jit(lambda b, p, i: retrieval_topk(b, p, k, block=4096,
+                                               posts_inv=i))
+    _ = np.asarray(f(brands, posts, inv)[0])  # compile + drain
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(brands, posts)
+        out = f(brands, posts, inv)
     _ = np.asarray(out[0])               # (51, k) fetch forces completion
     # steady-state: amortizes the tunnel RTT that a single shot eats whole
     return n_posts * iters / (time.perf_counter() - t0)
 
 
 def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
-                  iters: int = 20) -> dict:
+                  iters: int = 20, quantize: str = "") -> dict:
     """End-to-end PostIndex.query latency at 1M posts: the jit-cached
     streaming top-k plus host-side id mapping. Posts are generated on
     device (a 4 GB host->device transfer over the tunnel would swamp the
@@ -174,10 +181,15 @@ def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
             f.write(json.dumps({"collection": "bench", "checkpoint": "none",
                                 "brand_num": 51, "dim": dim,
                                 "n_posts": n_posts}))
-        index = PostIndex(idx_dir, device_resident=False)
+        index = PostIndex(idx_dir, device_resident=False, quantize=quantize)
         # swap in a device-resident synthetic 1M-post corpus
         key = jax.random.PRNGKey(0)
-        index._posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
+        posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
+        if quantize == "int8":
+            from fancyrec_tpu.ops.similarity import quantize_rows_int8
+            index._posts, index._posts_inv = jax.jit(quantize_rows_int8)(posts)
+        else:
+            index._posts = posts
         index.n_posts = n_posts
         index.cap_ids = ["p%d" % i for i in range(n_posts)]
 
@@ -254,9 +266,10 @@ def main():
             "vs_baseline": None,
         }))
     elif mode == "retrieval":
-        pps = bench_retrieval()
+        quant = args[0] if args else ""
+        pps = bench_retrieval(quantize=quant)
         print(json.dumps({
-            "metric": "retrieval_topk_1m_posts",
+            "metric": "retrieval_topk_1m_posts" + ("_int8" if quant else ""),
             "value": round(pps / 1e6, 2), "unit": "Mposts/sec/chip",
             "vs_baseline": None,
         }))
@@ -270,9 +283,11 @@ def main():
             "mfu_vs_bf16_peak": round(r["mfu_vs_bf16_peak"], 4),
         }))
     elif mode == "serving":
-        r = bench_serving()
+        quant = args[0] if args else ""
+        r = bench_serving(quantize=quant)
         print(json.dumps({
-            "metric": "serving_query_latency_1m_posts",
+            "metric": "serving_query_latency_1m_posts" + (
+                "_int8" if quant else ""),
             "value": round(r["query_latency_ms"], 1), "unit": "ms",
             "vs_baseline": None, "k": r["k"],
         }))
@@ -286,7 +301,8 @@ def main():
             "metric_kernel_ms": round(r["metric_kernel_ms"], 1),
         }))
     else:
-        raise SystemExit("usage: bench.py [resnet [batch]|train|train_resident|retrieval|eval|serving]")
+        raise SystemExit("usage: bench.py [resnet [batch]|train|train_resident"
+                         "|retrieval [int8]|eval|serving [int8]]")
 
 
 if __name__ == "__main__":

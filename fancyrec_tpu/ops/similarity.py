@@ -39,6 +39,62 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# int8 row quantization (serving)
+# ---------------------------------------------------------------------------
+#
+# Cosine scores are invariant to any per-row positive scale, so rows
+# quantize with a per-row max-abs scale that then CANCELS: with
+# q_j = round(127 * p_j / max|p_j|), the cosine against any query b is
+# exactly cos(b, q_j) -- only the inverse L2 norm of the *quantized* row
+# survives as an f32 column scale. The dequantization scale never needs
+# to be stored; the only approximation is the rounding itself
+# (~1e-3 absolute on scores in [-1, 1]). The scoring matmul runs
+# int8 x int8 -> int32 on the MXU with exact integer accumulation
+# (D * 127^2 << 2^31 for any realistic dim), and the HBM read of the
+# index drops 4x vs f32 -- the whole cost of the memory-bound 1M-post
+# query. Role: serving-time variant of the reference's f32 score matrix
+# (evaluator.py:23-29); keep f32 for metric-parity evaluation.
+
+def quantize_rows_int8(rows: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, D) float -> (q int8 (N, D), inv_norms f32 (N,)).
+
+    inv_norms = 1/||q_j|| (0 for all-zero rows, which then score 0
+    everywhere, matching the f32 path's 0/0-guarded behavior).
+    """
+    rows = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(rows), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    q = jnp.clip(jnp.round(rows * scale), -127, 127).astype(jnp.int8)
+    sq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1)
+    inv = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1.0)), 0.0)
+    return q, inv
+
+
+def quantize_rows_int8_np(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side mirror of quantize_rows_int8 (bit-identical): quantizing
+    before device_put ships 1 byte/elem instead of 4 -- index loads over a
+    slow host->device link drop 4x too."""
+    rows = np.asarray(rows, np.float32)
+    amax = np.max(np.abs(rows), axis=1, keepdims=True)
+    scale = np.divide(np.float32(127.0), amax, where=amax > 0,
+                      out=np.zeros_like(amax))
+    q = np.clip(np.round(rows * scale), -127, 127).astype(np.int8)
+    sq = np.sum(np.square(q.astype(np.float32)), axis=1)
+    inv = np.where(sq > 0, 1.0 / np.sqrt(np.maximum(sq, 1.0)), 0.0)
+    return q, inv.astype(np.float32)
+
+
+def _int8_scores(q_brands: jnp.ndarray, b_inv: jnp.ndarray,
+                 q_posts: jnp.ndarray, p_inv: jnp.ndarray) -> jnp.ndarray:
+    """(B, D) int8, (B,), (T, D) int8, (T,) -> (B, T) f32 cosine scores."""
+    raw = jax.lax.dot_general(
+        q_brands, q_posts, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return raw.astype(jnp.float32) * b_inv[:, None] * p_inv[None, :]
+
+
 def _cosine_block_kernel(brands_ref, posts_ref, out_ref):
     posts = posts_ref[:]                        # (T, D) raw block
     inv = jax.lax.rsqrt(jnp.sum(posts * posts, axis=1, keepdims=True))
@@ -101,7 +157,8 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
                    pvary_axis: Optional[str] = None,
                    score_dtype: jnp.dtype = jnp.float32,
                    n_valid=None, strategy: str = "auto",
-                   matrix_limit_bytes: int = 512 * 2 ** 20
+                   matrix_limit_bytes: int = 512 * 2 ** 20,
+                   posts_inv: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k posts per brand, descending (values (B, k), indices (B, k)).
 
@@ -123,20 +180,39 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
     n_valid (int or traced scalar) masks rows >= n_valid to -inf: callers
     that pre-pad the post axis (e.g. to a shard multiple) pass the true
     row count so pad rows never rank.
+
+    int8 posts (from quantize_rows_int8) switch the scoring matmul to
+    int8 x int8 -> int32 on the MXU: 4x less HBM traffic on the
+    memory-bound large-index query, ~1e-3 score error from rounding.
+    posts_inv carries the precomputed 1/||q_j|| column scales (computed
+    on the fly when omitted -- one extra reduction pass over the index);
+    score_dtype is ignored on this path.
     """
     b, d = brands.shape
     n = posts.shape[0]
-    brands_n = brands / jnp.linalg.norm(brands, axis=1, keepdims=True)
+    quantized = posts.dtype == jnp.int8
+    if quantized:
+        qb, b_inv = quantize_rows_int8(brands)
+        if posts_inv is None:
+            sq = jnp.sum(jnp.square(posts.astype(jnp.float32)), axis=1)
+            posts_inv = jnp.where(
+                sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1.0)), 0.0)
+    else:
+        brands_n = brands / jnp.linalg.norm(brands, axis=1, keepdims=True)
 
     if strategy == "auto":
         # the matrix path has no scan carry, so it is safe under shard_map
         # too (pvary_axis only matters for the scan's pcast'd init)
         strategy = "matrix" if b * n * 4 <= matrix_limit_bytes else "scan"
     if strategy == "matrix":
-        raw = jnp.dot(brands_n.astype(score_dtype), posts.T.astype(score_dtype),
-                      preferred_element_type=jnp.float32)
-        inv = jax.lax.rsqrt(jnp.sum(posts * posts, axis=1))   # f32 col norms
-        scores = raw * inv[None, :]
+        if quantized:
+            scores = _int8_scores(qb, b_inv, posts, posts_inv)
+        else:
+            raw = jnp.dot(brands_n.astype(score_dtype),
+                          posts.T.astype(score_dtype),
+                          preferred_element_type=jnp.float32)
+            inv = jax.lax.rsqrt(jnp.sum(posts * posts, axis=1))  # f32 norms
+            scores = raw * inv[None, :]
         if n_valid is not None:
             scores = jnp.where(jnp.arange(n)[None, :] < n_valid,
                                scores, -jnp.inf)
@@ -152,20 +228,29 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
     np_ = nb * block
     posts_p = jnp.pad(posts, ((0, np_ - n), (0, 0)))
     pad_rows = jnp.arange(np_) >= n
-    posts_p = jnp.where(pad_rows[:, None], 1.0, posts_p)
-    if score_dtype != jnp.float32:
-        posts_p = posts_p.astype(score_dtype)
+    if quantized:
+        # int8 pad rows are all-zero; their inv scale is 0 (scores 0,
+        # then masked to -inf below), so no rsqrt guard is needed
+        inv_p = jnp.pad(posts_inv, (0, np_ - n))
+        inv_blocks = inv_p.reshape(nb, block)
+    else:
+        posts_p = jnp.where(pad_rows[:, None], 1.0, posts_p)
+        if score_dtype != jnp.float32:
+            posts_p = posts_p.astype(score_dtype)
+        inv_blocks = jnp.zeros((nb, 1), jnp.float32)  # unused placeholder
+        brands_c = brands_n.astype(score_dtype)
     blocks = posts_p.reshape(nb, block, d)
     valid = (~pad_rows).reshape(nb, block)
 
-    brands_c = brands_n.astype(score_dtype)
-
     def scan_block(carry, inp):
         vals, idxs = carry
-        blk, vmask, start = inp
-        inv = jax.lax.rsqrt(jnp.sum(blk * blk, axis=1, keepdims=True))
-        scores = jnp.dot(brands_c, ((blk * inv).astype(score_dtype)).T,
-                         preferred_element_type=jnp.float32)
+        blk, inv_blk, vmask, start = inp
+        if quantized:
+            scores = _int8_scores(qb, b_inv, blk, inv_blk)
+        else:
+            inv = jax.lax.rsqrt(jnp.sum(blk * blk, axis=1, keepdims=True))
+            scores = jnp.dot(brands_c, ((blk * inv).astype(score_dtype)).T,
+                             preferred_element_type=jnp.float32)
         blk_idx = (start + jnp.arange(block, dtype=jnp.int32)).astype(jnp.int32)
         ok = vmask if n_valid is None else vmask & (blk_idx < n_valid)
         scores = jnp.where(ok[None, :], scores, -jnp.inf)
@@ -184,19 +269,23 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
         init = jax.tree.map(
             lambda x: jax.lax.pcast(x, pvary_axis, to="varying"), init)
     starts = (jnp.arange(nb) * block).astype(jnp.int32)
-    (vals, idxs), _ = jax.lax.scan(scan_block, init, (blocks, valid, starts))
+    (vals, idxs), _ = jax.lax.scan(
+        scan_block, init, (blocks, inv_blocks, valid, starts))
     return vals, idxs
 
 
 def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
                                axis: str = "data", block: int = 4096,
                                n_valid: Optional[int] = None,
-                               score_dtype: jnp.dtype = jnp.float32):
+                               score_dtype: jnp.dtype = jnp.float32,
+                               posts_inv=None):
     """Sharded top-k: each device scans its post shard, then a cross-shard
     all-gather + final top-k merge. posts_sharded: (N, D) sharded on axis 0
     over `axis`; returns replicated (values, global indices). n_valid: true
     row count when the post axis was padded to a shard multiple -- pad rows
-    are masked to -inf inside each shard's scan."""
+    are masked to -inf inside each shard's scan. int8 posts run the
+    quantized int32-MXU scoring (posts_inv: the 1/||q|| sidecar, sharded
+    like the posts; per-shard on-the-fly if omitted)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -204,7 +293,7 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
     n_shards = mesh.devices.shape[list(mesh.axis_names).index(axis)]
     shard_size = n // n_shards
 
-    def local(brands_l, posts_l):
+    def local(brands_l, posts_l, *inv_l):
         shard_id = jax.lax.axis_index(axis)
         local_valid = None
         if n_valid is not None:
@@ -212,7 +301,8 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
                                    0, shard_size)
         vals, idxs = retrieval_topk(brands_l, posts_l, k, block=block,
                                     pvary_axis=axis, n_valid=local_valid,
-                                    score_dtype=score_dtype)
+                                    score_dtype=score_dtype,
+                                    posts_inv=inv_l[0] if inv_l else None)
         idxs = idxs + shard_id * shard_size
         # gather every shard's candidates and merge
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
@@ -224,9 +314,14 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
         # needing a static replication proof for the out_specs)
         return mvals[None], midx[None]
 
+    in_specs = (P(), P(axis, None))
+    args = (brands, posts_sharded)
+    if posts_inv is not None:
+        in_specs += (P(axis),)
+        args += (posts_inv,)
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(axis, None)),
+        in_specs=in_specs,
         out_specs=(P(axis), P(axis)))
-    vals, idxs = fn(brands, posts_sharded)
+    vals, idxs = fn(*args)
     return vals[0], idxs[0]

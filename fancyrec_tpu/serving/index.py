@@ -182,10 +182,18 @@ class PostIndex:
     With a mesh whose `axis` dimension is >1, the posts live sharded
     across devices (padded to the shard multiple; pad rows masked inside
     the scan) and queries run the distributed cross-shard merge.
+
+    quantize="int8" stores the index int8 on device (per-row max-abs
+    quantization on the host, so loads ship 1 byte/elem) and scores with
+    the exact-int32 MXU path: 4x less HBM per query, ~1e-3 score error
+    from rounding -- rankings can differ from f32 on near-ties.
     """
 
     def __init__(self, index_dir: str, device_resident: bool = True,
-                 mesh=None, mesh_axis: str = "data"):
+                 mesh=None, mesh_axis: str = "data", quantize: str = ""):
+        if quantize not in ("", "int8"):
+            raise ValueError("quantize must be '' or 'int8'")
+        self.quantize = quantize
         self._index_dir = index_dir
         self.store = BigFileReader(index_dir, delimiter="\t")
         self.cap_ids = self.store.names
@@ -202,6 +210,7 @@ class PostIndex:
             self._shards = int(
                 mesh.devices.shape[list(mesh.axis_names).index(mesh_axis)])
         self._posts = None
+        self._posts_inv = None
         self._query_cache = {}
         if device_resident:
             self.posts()
@@ -216,21 +225,33 @@ class PostIndex:
             self.meta = json.loads(f.read())
         self.n_posts = self.store.nr_of_rows
         self._posts = None
+        self._posts_inv = None
         self._query_cache = {}
 
     def posts(self) -> jnp.ndarray:
         if self._posts is None:
             rows = self.store.read_rows(np.arange(self.n_posts))
+            inv = None
+            if self.quantize == "int8":
+                from fancyrec_tpu.ops.similarity import quantize_rows_int8_np
+                rows, inv = quantize_rows_int8_np(rows)
             pad = (-self.n_posts) % self._shards
             if pad:
                 rows = np.concatenate(
                     [rows, np.zeros((pad, rows.shape[1]), rows.dtype)])
+                if inv is not None:
+                    inv = np.concatenate([inv, np.zeros(pad, np.float32)])
             if self.mesh is not None and self._shards > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 self._posts = jax.device_put(
                     rows, NamedSharding(self.mesh, P(self.mesh_axis, None)))
+                if inv is not None:
+                    self._posts_inv = jax.device_put(
+                        inv, NamedSharding(self.mesh, P(self.mesh_axis)))
             else:
                 self._posts = jnp.asarray(rows)
+                if inv is not None:
+                    self._posts_inv = jnp.asarray(inv)
         return self._posts
 
     def _jitted_topk(self, n_brands: int, k: int, block: int, score_dtype):
@@ -240,15 +261,17 @@ class PostIndex:
             if self.mesh is not None and self._shards > 1:
                 mesh, axis, n_valid = self.mesh, self.mesh_axis, self.n_posts
 
-                def run(q, posts):
+                def run(q, posts, inv):
                     return distributed_retrieval_topk(
                         q, posts, k, mesh, axis=axis, block=block,
-                        n_valid=n_valid, score_dtype=score_dtype)
+                        n_valid=n_valid, score_dtype=score_dtype,
+                        posts_inv=inv)
             else:
-                def run(q, posts):
+                def run(q, posts, inv):
                     return retrieval_topk(q, posts, k, block=block,
                                           score_dtype=score_dtype,
-                                          n_valid=self.n_posts)
+                                          n_valid=self.n_posts,
+                                          posts_inv=inv)
             fn = jax.jit(run)
             self._query_cache[key] = fn
         return fn
@@ -259,7 +282,7 @@ class PostIndex:
         """-> (scores (B, k), [[cap_id, ...] per brand]) best-first."""
         q = jnp.asarray(self.brand_embs[np.asarray(brand_ids)])
         fn = self._jitted_topk(q.shape[0], k, block, score_dtype)
-        vals, idxs = fn(q, self.posts())
+        vals, idxs = fn(q, self.posts(), self._posts_inv)
         idxs = np.asarray(idxs)
         names = [[self.cap_ids[i] for i in row] for row in idxs]
         return np.asarray(vals), names
@@ -295,6 +318,9 @@ def main(argv=None):
     q.add_argument("--mesh_shape", default="",
                    help="'auto' = shard posts over all local devices; "
                         "'N' or 'N,1' = over N; '' = single device")
+    q.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8: 4x smaller device-resident index, "
+                        "exact-int32 MXU scoring (~1e-3 score rounding)")
     a = p.parse_args(argv)
     mesh = None
     if a.mesh_shape:
@@ -309,7 +335,7 @@ def main(argv=None):
                                     a.batch_size, a.bert_vocab, mesh=mesh)
         print(json.dumps({"total_posts": n, "index": a.index_dir}))
     else:
-        index = PostIndex(a.index_dir, mesh=mesh)
+        index = PostIndex(a.index_dir, mesh=mesh, quantize=a.quantize)
         ids = [int(x) for x in a.brands.split(",")]
         vals, names = index.query(ids, k=a.k)
         for b_id, v, n in zip(ids, vals, names):

@@ -104,6 +104,63 @@ def test_sharded_query_matches_single_device(tmp_path):
     assert mn == sn
 
 
+def _separated_index(idx_dir, brand_num=4, winners=8, n_posts=400, dim=32,
+                     seed=3):
+    """Toy index with planted winners: each brand's top posts are scaled
+    copies of its embedding + small noise, so top-k sets are robust to the
+    int8 rounding error (clear score gaps)."""
+    from fancyrec_tpu.io.bigfile import BigFileWriter
+
+    rng = np.random.RandomState(seed)
+    brand_embs = rng.randn(brand_num, dim).astype(np.float32)
+    embs = rng.randn(n_posts, dim).astype(np.float32)
+    for b in range(brand_num):
+        for j in range(winners):
+            embs[b * winners + j] = (brand_embs[b] * (1.0 + 0.1 * j)
+                                     + 0.02 * rng.randn(dim))
+    names = ["post%d#enc#0" % i for i in range(n_posts)]
+    with BigFileWriter(idx_dir, ndims=dim, delimiter="\t") as w:
+        w.write_batch(names, embs)
+    np.save(os.path.join(idx_dir, "brands.npy"),
+            rng.randint(0, brand_num, n_posts))
+    np.save(os.path.join(idx_dir, "brand_embeddings.npy"), brand_embs)
+    with open(os.path.join(idx_dir, "index_meta.json"), "w") as f:
+        f.write(json.dumps({"collection": "toy", "checkpoint": "none",
+                            "brand_num": brand_num, "dim": dim,
+                            "n_posts": n_posts}))
+
+
+def test_quantized_index_matches_f32_ranking(tmp_path):
+    """quantize='int8' serves the same top-k sets as the f32 index on
+    separated data, stores the index int8 on device, and shards."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    idx_dir = str(tmp_path / "toy")
+    _separated_index(idx_dir)
+    f32 = PostIndex(idx_dir)
+    fv, fn = f32.query([0, 1, 2, 3], k=8)
+
+    q8 = PostIndex(idx_dir, quantize="int8")
+    assert q8.posts().dtype == jnp.int8
+    assert q8._posts_inv is not None
+    qv, qn = q8.query([0, 1, 2, 3], k=8)
+    for b in range(4):
+        assert set(qn[b]) == set(fn[b])
+    np.testing.assert_allclose(qv, fv, atol=2e-2)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices for the sharded variant")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+    mesh = build_mesh("8,1")
+    sharded = PostIndex(idx_dir, mesh=mesh, quantize="int8")
+    assert sharded.posts().shape[0] == 400   # divisible: no pad rows
+    sv, sn = sharded.query([0, 1, 2, 3], k=8)
+    np.testing.assert_allclose(sv, qv, atol=1e-5)
+    assert sn == qn
+
+
 def test_incremental_append_and_refresh(tmp_path):
     """append_to_index adds rows without a rebuild; a refreshed PostIndex
     ranks old and new posts together, equal to a from-scratch index."""

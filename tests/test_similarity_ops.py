@@ -7,7 +7,8 @@ import pytest
 
 from fancyrec_tpu.eval.metrics import cosine_sim_matrix
 from fancyrec_tpu.ops.similarity import (
-    cosine_scores_pallas, distributed_retrieval_topk, retrieval_topk)
+    cosine_scores_pallas, distributed_retrieval_topk, quantize_rows_int8,
+    quantize_rows_int8_np, retrieval_topk)
 
 
 def _case(seed, b=6, n=1000, d=64):
@@ -79,6 +80,92 @@ def test_matrix_strategy_matches_scan():
                                        atol=2e-5)
         if n_valid is not None:
             assert (np.asarray(im) < n_valid).all()
+
+
+def _np_int8_scores(brands, posts):
+    """Numpy oracle for the quantized scoring formula (exact int32 dot)."""
+    qb, b_inv = quantize_rows_int8_np(brands)
+    qp, p_inv = quantize_rows_int8_np(posts)
+    raw = qb.astype(np.int32) @ qp.astype(np.int32).T
+    return raw.astype(np.float32) * b_inv[:, None] * p_inv[None, :]
+
+
+def test_int8_quantization_device_matches_host():
+    """jnp and numpy quantizers must agree bit-for-bit (the index is
+    quantized on the host before device_put)."""
+    _, posts = _case(5, n=300)
+    posts[17] = 0.0   # all-zero row: inv scale 0, never NaN
+    qj, ij = quantize_rows_int8(jnp.asarray(posts))
+    qn, inn = quantize_rows_int8_np(posts)
+    np.testing.assert_array_equal(np.asarray(qj), qn)
+    np.testing.assert_allclose(np.asarray(ij), inn, rtol=1e-6)
+    assert qn.dtype == np.int8 and qn[17].max() == 0 and inn[17] == 0
+
+
+@pytest.mark.parametrize("strategy", ["matrix", "scan"])
+def test_int8_topk_matches_numpy_oracle(strategy):
+    """int8 top-k values equal the exact integer-arithmetic oracle; the
+    cosine error vs f32 stays within the rounding bound; n_valid masks."""
+    brands, posts = _case(6, n=1000)
+    qp, p_inv = quantize_rows_int8_np(posts)
+    want = _np_int8_scores(brands, posts)
+    f32 = np.asarray(cosine_sim_matrix(jnp.asarray(brands),
+                                       jnp.asarray(posts)))
+    np.testing.assert_allclose(want, f32, atol=2e-2)  # both-sides rounding
+    for n_valid, inv in ((None, jnp.asarray(p_inv)), (700, None)):
+        vals, idxs = retrieval_topk(
+            jnp.asarray(brands), jnp.asarray(qp), k=10, block=256,
+            strategy=strategy, n_valid=n_valid, posts_inv=inv)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        w = want if n_valid is None else want[:, :n_valid]
+        for b in range(brands.shape[0]):
+            np.testing.assert_allclose(vals[b], np.sort(w[b])[::-1][:10],
+                                       atol=1e-5)
+        if n_valid is not None:
+            assert (idxs < n_valid).all()
+
+
+def test_int8_topk_recovers_f32_ranking_on_separated_data():
+    """With planted winners (clear score gaps), int8 must return exactly
+    the f32 top-k sets -- the rounding error only reorders near-ties."""
+    rng = np.random.RandomState(7)
+    brands = rng.randn(5, 64).astype(np.float32)
+    posts = rng.randn(2000, 64).astype(np.float32)
+    for b in range(5):          # 10 clear winners per brand
+        for j in range(10):
+            posts[b * 10 + j] = (brands[b] * (1.0 + 0.1 * j)
+                                 + 0.02 * rng.randn(64))
+    fv, fi = retrieval_topk(jnp.asarray(brands), jnp.asarray(posts), k=10)
+    qp, p_inv = quantize_rows_int8_np(posts)
+    qv, qi = retrieval_topk(jnp.asarray(brands), jnp.asarray(qp), k=10,
+                            posts_inv=jnp.asarray(p_inv))
+    for b in range(5):
+        assert set(np.asarray(qi)[b]) == set(np.asarray(fi)[b])
+    np.testing.assert_allclose(np.asarray(qv), np.asarray(fv), atol=2e-2)
+
+
+def test_int8_distributed_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    brands, posts = _case(8, n=4096)
+    qp, p_inv = quantize_rows_int8_np(posts)
+    vs, is_ = retrieval_topk(jnp.asarray(brands), jnp.asarray(qp), k=8,
+                             block=512, posts_inv=jnp.asarray(p_inv))
+    mesh = build_mesh("8,1")
+    with mesh:
+        qp_sh = jax.device_put(qp, NamedSharding(mesh, P("data", None)))
+        inv_sh = jax.device_put(p_inv, NamedSharding(mesh, P("data")))
+        # with the precomputed sidecar, and with per-shard on-the-fly norms
+        for inv in (inv_sh, None):
+            vd, id_ = distributed_retrieval_topk(
+                jnp.asarray(brands), qp_sh, k=8, mesh=mesh, block=256,
+                posts_inv=inv)
+            np.testing.assert_allclose(np.asarray(vd), np.asarray(vs),
+                                       atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(id_), np.asarray(is_))
 
 
 def test_topk_k_exceeds_post_count():
