@@ -44,16 +44,20 @@ def bench_resnet152(batch_size: int = 128, iters: int = 40,
     return batch_size * iters / dt
 
 
-def bench_train_step(iters: int = 10) -> float:
+def bench_train_step(iters: int = 10, batch_size: int = 0) -> float:
     """Posts/sec through the full jitted accumulating train step at the
     bin/instance.sh recipe scale (transformers+ph+cl, common dim 1024,
-    batch 8 x accum 8)."""
+    batch 8 x accum 8). batch_size overrides the recipe's microbatch to
+    measure the scaling headroom (the recipe model is memory-bound at
+    batch 8 by parity, not MXU-bound)."""
     import __graft_entry__ as g
     from fancyrec_tpu.train.state import init_state, make_optimizer
     from fancyrec_tpu.train.step import make_train_step, stack_microbatches
 
     cfg = g._flagship_cfg()
     cfg.queue_size = 512   # queue size doesn't affect step cost materially
+    if batch_size:
+        cfg.batch_size = batch_size
     cfg = cfg.finalize()
     model, state = init_state(cfg)
     tx = make_optimizer(cfg)
@@ -259,9 +263,11 @@ def main():
             "vs_baseline": round(fps / BASELINE_FPS, 4),
         }))
     elif mode == "train":
-        pps = bench_train_step()
+        batch = int(args[0]) if args else 0
+        pps = bench_train_step(batch_size=batch)
         print(json.dumps({
-            "metric": "train_step_throughput_recipe_config",
+            "metric": "train_step_throughput_recipe_config" + (
+                "_b%d" % batch if batch else ""),
             "value": round(pps, 1), "unit": "posts/sec/chip",
             "vs_baseline": None,
         }))
@@ -301,8 +307,9 @@ def main():
             "metric_kernel_ms": round(r["metric_kernel_ms"], 1),
         }))
     else:
-        raise SystemExit("usage: bench.py [resnet [batch]|train|train_resident"
-                         "|retrieval [int8]|eval|serving [int8]]")
+        raise SystemExit("usage: bench.py [resnet [batch]|train [batch]"
+                         "|train_resident|retrieval [int8]|eval"
+                         "|serving [int8]]")
 
 
 if __name__ == "__main__":

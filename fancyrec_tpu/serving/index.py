@@ -156,6 +156,8 @@ def append_to_index(index_dir: str, cap_ids, post_embs, brands) -> int:
 
     with open(os.path.join(index_dir, "feature.bin"), "ab") as f:
         f.write(np.ascontiguousarray(post_embs).tobytes())
+    _maybe_append_quantized_sidecar(index_dir, post_embs,
+                                    store.nr_of_rows, store.ndims)
     names = list(store.names) + list(cap_ids)
     with open(os.path.join(index_dir, "id.txt"), "w", encoding="utf-8") as f:
         f.write("\t".join(names))
@@ -171,6 +173,30 @@ def append_to_index(index_dir: str, cap_ids, post_embs, brands) -> int:
     with open(meta_path, "w") as f:
         f.write(json.dumps(meta))
     return len(names)
+
+
+def _maybe_append_quantized_sidecar(index_dir: str, new_rows: np.ndarray,
+                                    n_before: int, ndims: int) -> None:
+    """Keep the int8 sidecar cache (see PostIndex._load_quantized) in sync
+    across appends: rows quantize independently, so the existing prefix
+    stays valid and only the new tail is quantized. A sidecar that does
+    not exactly match the pre-append store is left for the next quantized
+    load to rebuild."""
+    from fancyrec_tpu.ops.similarity import quantize_rows_int8_np
+
+    qpath = os.path.join(index_dir, "feature.int8.bin")
+    ipath = os.path.join(index_dir, "inv_norms.npy")
+    if not (os.path.exists(qpath) and os.path.exists(ipath)):
+        return
+    if os.path.getsize(qpath) != n_before * ndims:
+        return
+    inv = np.load(ipath).astype(np.float32)
+    if inv.size != n_before:
+        return
+    tail, tinv = quantize_rows_int8_np(new_rows)
+    with open(qpath, "ab") as f:
+        f.write(np.ascontiguousarray(tail).tobytes())
+    np.save(ipath, np.concatenate([inv, tinv]))
 
 
 class PostIndex:
@@ -228,13 +254,43 @@ class PostIndex:
         self._posts_inv = None
         self._query_cache = {}
 
+    def _load_quantized(self):
+        """int8 rows + inv-norm sidecar, cached on disk next to the store
+        (feature.int8.bin / inv_norms.npy): reloads read 1 byte/elem from
+        disk and skip host requantization. Valid only if at least as new
+        as feature.bin with exactly matching row counts (append_to_index
+        maintains it across appends); anything else requantizes in full.
+        Read-only index dirs fall back to in-memory quantization."""
+        from fancyrec_tpu.ops.similarity import quantize_rows_int8_np
+
+        n, d = self.n_posts, self.store.ndims
+        qpath = os.path.join(self._index_dir, "feature.int8.bin")
+        ipath = os.path.join(self._index_dir, "inv_norms.npy")
+        fpath = os.path.join(self._index_dir, "feature.bin")
+        if os.path.exists(qpath) and os.path.exists(ipath) \
+                and os.path.getmtime(qpath) >= os.path.getmtime(fpath):
+            q = np.fromfile(qpath, np.int8)
+            inv = np.load(ipath).astype(np.float32)
+            if q.size == n * d and inv.size == n:
+                return q.reshape(n, d), inv
+        q, inv = quantize_rows_int8_np(
+            self.store.read_rows(np.arange(n)))
+        try:
+            with open(qpath + ".tmp", "wb") as f:
+                f.write(np.ascontiguousarray(q).tobytes())
+            os.replace(qpath + ".tmp", qpath)
+            np.save(ipath, inv)
+        except OSError:
+            pass
+        return q, inv
+
     def posts(self) -> jnp.ndarray:
         if self._posts is None:
-            rows = self.store.read_rows(np.arange(self.n_posts))
             inv = None
             if self.quantize == "int8":
-                from fancyrec_tpu.ops.similarity import quantize_rows_int8_np
-                rows, inv = quantize_rows_int8_np(rows)
+                rows, inv = self._load_quantized()
+            else:
+                rows = self.store.read_rows(np.arange(self.n_posts))
             pad = (-self.n_posts) % self._shards
             if pad:
                 rows = np.concatenate(

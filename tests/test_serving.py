@@ -161,6 +161,53 @@ def test_quantized_index_matches_f32_ranking(tmp_path):
     assert sn == qn
 
 
+def test_quantized_sidecar_cache(tmp_path, monkeypatch):
+    """The on-disk int8 sidecar makes quantized reloads read 1 byte/elem:
+    fresh instances load it without requantizing, appends extend it
+    tail-only, and a newer feature.bin (rebuild) invalidates it."""
+    import fancyrec_tpu.ops.similarity as sim
+    from fancyrec_tpu.serving.index import append_to_index
+
+    idx_dir = str(tmp_path / "toy")
+    _separated_index(idx_dir, n_posts=96, dim=16)
+    q8 = PostIndex(idx_dir, quantize="int8")
+    v1, n1 = q8.query([0, 1], k=5)
+    qpath = os.path.join(idx_dir, "feature.int8.bin")
+    assert os.path.getsize(qpath) == 96 * 16
+    assert np.load(os.path.join(idx_dir, "inv_norms.npy")).size == 96
+
+    calls = {"n": 0}
+    real = sim.quantize_rows_int8_np
+
+    def counting(rows):
+        calls["n"] += 1
+        return real(rows)
+
+    monkeypatch.setattr(sim, "quantize_rows_int8_np", counting)
+
+    # a fresh instance reads the sidecar -- no requantization
+    q8b = PostIndex(idx_dir, quantize="int8")
+    v2, n2 = q8b.query([0, 1], k=5)
+    assert calls["n"] == 0
+    np.testing.assert_array_equal(v1, v2)
+    assert n1 == n2
+
+    # append keeps the sidecar in sync, quantizing only the new tail
+    rng = np.random.RandomState(0)
+    append_to_index(idx_dir, ["extra0"],
+                    rng.randn(1, 16).astype(np.float32), [0])
+    assert calls["n"] == 1
+    assert os.path.getsize(qpath) == 97 * 16
+    q8c = PostIndex(idx_dir, quantize="int8")
+    assert calls["n"] == 1              # still served from the sidecar
+    assert q8c.posts().shape[0] == 97
+
+    # a rebuilt (newer) feature.bin invalidates the cache in full
+    os.utime(os.path.join(idx_dir, "feature.bin"))
+    PostIndex(idx_dir, quantize="int8")
+    assert calls["n"] == 2
+
+
 def test_incremental_append_and_refresh(tmp_path):
     """append_to_index adds rows without a rebuild; a refreshed PostIndex
     ranks old and new posts together, equal to a from-scratch index."""
