@@ -60,6 +60,10 @@ def _gru_scan(x_seq, h0, w_ih, w_hh, b_ih, b_hh):
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
+    # Measured v5e-1, recipe visual shape (64,64,2048)->1024: unroll=1/4/8
+    # all ~2.8 ms per direction -- the scan is bound by the serial HxH
+    # dependency chain, not loop overhead, so we keep the un-unrolled form
+    # (smallest compile).
     _, out = jax.lax.scan(step, h0, xw)
     return out
 

@@ -6,6 +6,15 @@ Variants:
   block=N     - block-size sweep (fewer merges per pass)
   two_stage   - full (B, N) score matrix in one matmul, then one top_k
   local_then_merge - per-block local top_k(k) first, merge 2k per block
+
+`topk_probe.py int8` probes the quantized path instead:
+  matrix / scan blocks - production strategies on int8 rows
+  scores+rowmax        - scoring + materialization without top_k
+  bf16 scores          - emit the score matrix bf16 (halved write+read)
+  hierarchical top_k   - blockwise (B, nb, blk) top_k then merge
+Measured v5e-1 outcomes are recorded in CLAUDE.md (matrix wins at
+7.4 ms; hierarchical top_k is 5-9x worse; bf16 emission saves 7% but
+quadruples rounding error -- rejected).
 """
 
 import json
@@ -16,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fancyrec_tpu.ops.similarity import retrieval_topk
+from fancyrec_tpu.ops.similarity import quantize_rows_int8, retrieval_topk
 
 
 def timeit(f, *args, iters=5):
@@ -91,7 +100,61 @@ def main(n=1_000_000, d=1024, b=51, k=10):
                       "ms": round(timeit(f, brands, posts), 1)}))
 
 
+def main_int8(n=1_000_000, d=1024, b=51, k=10):
+    key = jax.random.PRNGKey(0)
+    brands = jax.random.normal(key, (b, d), jnp.float32)
+    posts = jax.random.normal(key, (n, d), jnp.float32)
+    qp, inv = jax.jit(quantize_rows_int8)(posts)
+
+    f = jax.jit(lambda q, p, i: retrieval_topk(q, p, k, strategy="matrix",
+                                               posts_inv=i))
+    print(json.dumps({"variant": "int8 matrix (production)",
+                      "ms": round(timeit(f, brands, qp, inv), 2)}))
+    for blk in (16384, 65536, 131072):
+        f = jax.jit(lambda q, p, i, blk=blk: retrieval_topk(
+            q, p, k, strategy="scan", block=blk, posts_inv=i))
+        print(json.dumps({"variant": "int8 scan block=%d" % blk,
+                          "ms": round(timeit(f, brands, qp, inv), 2)}))
+
+    from fancyrec_tpu.ops.similarity import _int8_scores, quantize_rows_int8 as q8
+
+    def scores_rowmax(q, p, i):
+        qb, b_inv = q8(q)
+        return jnp.max(_int8_scores(qb, b_inv, p, i), axis=1)
+
+    print(json.dumps({"variant": "int8 scores+rowmax only (no top_k)",
+                      "ms": round(timeit(jax.jit(scores_rowmax),
+                                         brands, qp, inv), 2)}))
+
+    def matrix_bf16(q, p, i):
+        qb, b_inv = q8(q)
+        s = _int8_scores(qb, b_inv, p, i).astype(jnp.bfloat16)
+        v, ix = jax.lax.top_k(s, k)
+        return v.astype(jnp.float32), ix
+
+    print(json.dumps({"variant": "int8 matrix, bf16 score emission",
+                      "ms": round(timeit(jax.jit(matrix_bf16),
+                                         brands, qp, inv), 2)}))
+
+    def hierarchical(q, p, i, blk=4096):
+        qb, b_inv = q8(q)
+        s = _int8_scores(qb, b_inv, p, i)
+        nb = -(-n // blk)
+        pad = nb * blk - n
+        if pad:
+            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        lv, li = jax.lax.top_k(s.reshape(b, nb, blk), k)
+        li = li + (jnp.arange(nb, dtype=jnp.int32) * blk)[None, :, None]
+        v, sel = jax.lax.top_k(lv.reshape(b, nb * k), k)
+        return v, jnp.take_along_axis(li.reshape(b, nb * k), sel, axis=1)
+
+    print(json.dumps({"variant": "int8 hierarchical two-stage top_k",
+                      "ms": round(timeit(jax.jit(hierarchical),
+                                         brands, qp, inv), 2)}))
 
 
 if __name__ == "__main__":
-    main(*[int(x) for x in sys.argv[1:]])
+    if len(sys.argv) > 1 and sys.argv[1] == "int8":
+        main_int8(*[int(x) for x in sys.argv[2:]])
+    else:
+        main(*[int(x) for x in sys.argv[1:]])
