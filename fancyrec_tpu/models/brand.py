@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -30,21 +32,35 @@ l1_penalty.defvjp(_l1_fwd, _l1_bwd)
 
 
 class BrandAspects(nn.Module):
-    """brand id -> (num_aspects, common_dim) weighted aspect vectors.
+    """brand id -> weighted aspect vectors / brand embedding.
 
     A (brand_num+1, num_aspects) embedding of per-brand aspect weights
     (L1-penalized) scales a shared (num_aspects, common_dim) aspect matrix;
     dropout p=0.5 (torch nn.Dropout() default, reference model.py:417).
-    The caller means over the aspect axis to get the brand embedding.
+    The brand embedding is the mean over the aspect axis (model.py:594).
+
+    `mean=True` computes that mean WITHOUT materializing the
+    (B, num_aspects, common_dim) product (131M elements at recipe scale):
+      * deterministic: one (B, A) @ (A, C) matmul / A -- same value as
+        mean-of-product up to f32 summation order, and it shards cleanly
+        under the TP rules (aspects row-sharded -> psum over 'model').
+      * training on a single TPU device: the fused Pallas
+        dropout+mean kernel (ops/brand_pallas.py) -- draws the dropout
+        mask from the hardware PRNG in both passes instead of storing it.
+      * otherwise (CPU tests, multi-device GSPMD meshes): the XLA path,
+        elementwise bernoulli on the product exactly like the reference.
+    `mean=False` returns the legacy (B, A, C) weighted-aspect tensor.
     """
 
     brand_num: int
     num_aspects: int
     common_dim: int
     dtype: jnp.dtype = jnp.float32
+    fused_dropout: Optional[bool] = None   # None = auto (TPU, 1 device)
 
     @nn.compact
-    def __call__(self, brand_ids, *, deterministic: bool = True):
+    def __call__(self, brand_ids, *, deterministic: bool = True,
+                 mean: bool = False):
         brand_embeddings = self.param(
             "brand_embeddings", nn.initializers.normal(1.0),
             (self.brand_num + 1, self.num_aspects))
@@ -52,6 +68,21 @@ class BrandAspects(nn.Module):
             "aspects_embeddings", nn.initializers.normal(1.0),
             (self.num_aspects, self.common_dim))
         weights = l1_penalty(brand_embeddings[brand_ids])        # (B, A)
-        w_aspects = weights[:, :, None] * aspects[None, :, :]     # (B, A, C)
-        w_aspects = nn.Dropout(0.5, deterministic=deterministic)(w_aspects)
-        return w_aspects
+        if not mean:
+            w_aspects = weights[:, :, None] * aspects[None, :, :]  # (B, A, C)
+            return nn.Dropout(0.5, deterministic=deterministic)(w_aspects)
+
+        if deterministic:
+            return (weights @ aspects) / self.num_aspects
+        fused = self.fused_dropout
+        if fused is None:
+            fused = (jax.default_backend() == "tpu"
+                     and jax.device_count() == 1)
+        rng = self.make_rng("dropout")
+        if fused:
+            from fancyrec_tpu.ops.brand_pallas import aspect_dropout_mean
+            seed = jax.random.bits(rng, (1,), jnp.uint32).astype(jnp.int32)
+            return aspect_dropout_mean(weights, aspects, seed, 0.5)
+        prod = weights[:, :, None] * aspects[None, :, :]
+        keep = jax.random.bernoulli(rng, 0.5, prod.shape)
+        return jnp.mean(jnp.where(keep, prod / 0.5, 0.0), axis=1)

@@ -97,8 +97,10 @@ class FancyRec(nn.Module):
     # ------------------------------------------------------------------
 
     def embed_brand(self, brand_ids, *, deterministic: bool = True):
-        w_aspects = self.brand_encoding(brand_ids, deterministic=deterministic)
-        return jnp.mean(w_aspects, axis=1)   # mean over aspect axis (model.py:594)
+        # mean over the aspect axis (model.py:594), computed without the
+        # (B, aspects, common) intermediate -- see BrandAspects.__call__
+        return self.brand_encoding(brand_ids, deterministic=deterministic,
+                                   mean=True)
 
     def embed_vis(self, v: VisualBatch, *, deterministic: bool = True):
         return self.vid_encoding(v, deterministic=deterministic)

@@ -21,6 +21,8 @@ verbatim.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -80,6 +82,30 @@ def _bigru_scan(x_fwd, x_bwd, h0, fwd, bwd):
     return out[:, 0], out[:, 1]
 
 
+def _bigru_recurrence(x_fwd, x_bwd, h0, fwd, bwd, use_pallas=None):
+    """Dispatch the fused recurrence: Pallas kernel on a single TPU
+    device (VMEM-resident recurrent weights -- 1.5x the XLA scan for
+    fwd+bwd at recipe shapes, measured v5e-1), lax.scan elsewhere (CPU
+    tests, GSPMD meshes where a custom call would not auto-partition).
+    """
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
+    if not use_pallas:
+        return _bigru_scan(x_fwd, x_bwd, h0, fwd, bwd)
+    from fancyrec_tpu.ops.gru_scan import gru_scan_pallas
+
+    dt = x_fwd.dtype
+    w_ih = jnp.stack([fwd["w_ih"], bwd["w_ih"]]).astype(dt)
+    b_ih = jnp.stack([fwd["b_ih"], bwd["b_ih"]]).astype(dt)
+    x2 = jnp.stack([x_fwd, x_bwd], axis=1)
+    xw = jnp.einsum("tdbi,dgi->tdbg", x2, w_ih) + b_ih[:, None, :]
+    w_hh = jnp.stack([fwd["w_hh"], bwd["w_hh"]])
+    b_hh = jnp.stack([fwd["b_hh"], bwd["b_hh"]])
+    out = gru_scan_pallas(xw, w_hh, b_hh)
+    return out[:, 0], out[:, 1]
+
+
 def _reverse_by_length(x, lengths):
     """Reverse each (T, D) sequence within its valid length.
 
@@ -101,6 +127,7 @@ class BiGRU(nn.Module):
     hidden: int
     packed: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None   # None = auto (TPU, 1 device)
 
     @nn.compact
     def __call__(self, x, lengths=None, batch_len=None):
@@ -130,8 +157,9 @@ class BiGRU(nn.Module):
         else:
             rev = jnp.asarray(t if batch_len is None else batch_len)
         xr = _reverse_by_length(x, rev)
-        out_f, out_b = _bigru_scan(xt, jnp.swapaxes(xr, 0, 1), h0,
-                                   params["fwd"], params["bwd"])
+        out_f, out_b = _bigru_recurrence(xt, jnp.swapaxes(xr, 0, 1), h0,
+                                         params["fwd"], params["bwd"],
+                                         use_pallas=self.use_pallas)
         out_f = jnp.swapaxes(out_f, 0, 1)
         out_b = _reverse_by_length(jnp.swapaxes(out_b, 0, 1), rev)
         out = jnp.concatenate([out_f, out_b], axis=-1)

@@ -1,0 +1,182 @@
+"""Pallas TPU kernel: fused brand-aspect dropout + mean.
+
+The brand tower (reference model.py:406-428,594) computes
+    out_bc = mean_a( dropout( w_ba * asp_ac ) )
+i.e. elementwise dropout on the (B, A=2000, C=1024) outer product of the
+per-brand aspect weights and the shared aspect matrix, then a mean over
+the aspect axis. At recipe scale that intermediate is 131M elements per
+64-post batch: XLA's lowering pays threefry RNG for every element
+(~3.4 ms forward at B=64 on v5e-1) and saves the 131 MB mask as an
+autodiff residual that the backward pass re-reads.
+
+This kernel never materializes the product or the mask: it streams
+aspect blocks through VMEM, draws the mask from the TPU hardware PRNG,
+and accumulates the masked contraction on the fly. The backward kernel
+REPLAYS the identical PRNG stream (same seed, same block order, same
+shapes) instead of loading a stored mask, so the only HBM traffic in
+either direction is the inputs/outputs themselves.
+
+Numerics: inverted dropout, mask = (random uint32 <= thr) with
+thr = keep * 2^32 - 1, scaled by 1/(A*keep) -- Bernoulli(keep) exactly
+for keep = k/2^32. The TPU stream differs from jax.random's threefry
+stream (dropout patterns are different random draws, same distribution);
+runs remain bit-reproducible for a fixed seed. Off-TPU callers must use
+the XLA path (the hardware PRNG has no interpreter-mode equivalent);
+models fall back automatically (models/brand.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_A_BLOCK = 128
+_CHUNK = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _mask(shape, thr):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits <= thr
+
+
+def _fwd_kernel(seed_ref, thr_ref, scale_ref, w_ref, asp_ref, out_ref):
+    j = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + j)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    thr = thr_ref[0]
+    acc = out_ref[:]
+    for i in range(_A_BLOCK // _CHUNK):
+        sl = slice(i * _CHUNK, (i + 1) * _CHUNK)
+        w_c = w_ref[:, sl]                        # (Bp, CHUNK)
+        asp_c = asp_ref[sl, :]                    # (CHUNK, C)
+        prod = w_c[:, :, None] * asp_c[None]      # (Bp, CHUNK, C)
+        m = _mask(prod.shape, thr)
+        acc = acc + jnp.sum(jnp.where(m, prod, 0.0), axis=1)
+    out_ref[:] = acc
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = out_ref[:] * scale_ref[0]
+
+
+def _bwd_kernel(seed_ref, thr_ref, scale_ref, w_ref, asp_ref, g_ref,
+                dw_ref, dasp_ref):
+    j = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + j)
+    thr = thr_ref[0]
+    scale = scale_ref[0]
+    g = g_ref[:]                                   # (Bp, C)
+    for i in range(_A_BLOCK // _CHUNK):
+        sl = slice(i * _CHUNK, (i + 1) * _CHUNK)
+        w_c = w_ref[:, sl]                         # (Bp, CHUNK)
+        asp_c = asp_ref[sl, :]                     # (CHUNK, C)
+        # PRNG replay: identical draw order to the forward kernel
+        m = _mask((w_c.shape[0], _CHUNK, asp_c.shape[1]), thr)
+        mg = jnp.where(m, g[:, None, :], 0.0)      # (Bp, CHUNK, C)
+        dw_ref[:, sl] = jnp.sum(mg * asp_c[None], axis=2) * scale
+        dasp_ref[sl, :] = jnp.sum(mg * w_c[:, :, None], axis=0) * scale
+
+
+def _prep(w, asp, keep):
+    b, a = w.shape
+    c = asp.shape[1]
+    bp = _round_up(max(b, 8), 8)
+    ap = _round_up(a, _A_BLOCK)
+    w_p = jnp.pad(w.astype(jnp.float32), ((0, bp - b), (0, ap - a)))
+    asp_p = jnp.pad(asp.astype(jnp.float32), ((0, ap - a), (0, 0)))
+    thr = jnp.asarray(
+        [min(int(keep * 2 ** 32) - 1, 2 ** 32 - 1)], jnp.uint32)
+    scale = jnp.asarray([1.0 / (a * keep)], jnp.float32)
+    return w_p, asp_p, thr, scale, bp, ap, b, a, c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def aspect_dropout_mean(w, asp, seed, keep: float = 0.5):
+    """mean over aspects of dropout(w[:, :, None] * asp[None]), fused.
+
+    w: (B, A) aspect weights, asp: (A, C) aspect matrix, seed: (1,) int32
+    PRNG seed (derive from the flax dropout rng), keep: keep probability.
+    Returns (B, C) f32. TPU only -- callers fall back to the XLA path
+    off-TPU or under a multi-device mesh.
+    """
+    return _fwd_impl(w, asp, seed, keep)
+
+
+def _fwd_impl(w, asp, seed, keep):
+    w_p, asp_p, thr, scale, bp, ap, b, a, c = _prep(w, asp, keep)
+    grid = (ap // _A_BLOCK,)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bp, _A_BLOCK), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_BLOCK, c), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, c), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(seed.astype(jnp.int32), thr, scale, w_p, asp_p)
+    return out[:b]
+
+
+def _adm_fwd(w, asp, seed, keep):
+    return _fwd_impl(w, asp, seed, keep), (w, asp, seed)
+
+
+def _adm_bwd(keep, res, g):
+    w, asp, seed = res
+    w_p, asp_p, thr, scale, bp, ap, b, a, c = _prep(w, asp, keep)
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, bp - b), (0, 0)))
+    grid = (ap // _A_BLOCK,)
+    dw_p, dasp_p = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bp, _A_BLOCK), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_BLOCK, c), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, c), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bp, _A_BLOCK), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_A_BLOCK, c), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, ap), jnp.float32),
+            jax.ShapeDtypeStruct((ap, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(seed.astype(jnp.int32), thr, scale, w_p, asp_p, g_p)
+    dw = dw_p[:b, :a].astype(w.dtype)
+    dasp = dasp_p[:a].astype(asp.dtype)
+    return dw, dasp, None
+
+
+aspect_dropout_mean.defvjp(_adm_fwd, _adm_bwd)
