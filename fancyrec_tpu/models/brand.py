@@ -78,11 +78,13 @@ class BrandAspects(nn.Module):
         if fused is None:
             fused = (jax.default_backend() == "tpu"
                      and jax.device_count() == 1)
-        rng = self.make_rng("dropout")
         if fused:
             from fancyrec_tpu.ops.brand_pallas import aspect_dropout_mean
-            seed = jax.random.bits(rng, (1,), jnp.uint32).astype(jnp.int32)
+            seed = jax.random.bits(self.make_rng("dropout"), (1,),
+                                   jnp.uint32).astype(jnp.int32)
             return aspect_dropout_mean(weights, aspects, seed, 0.5)
+        # XLA fallback: nn.Dropout on the product, exactly the legacy
+        # path (same submodule name -> bit-identical rng stream)
         prod = weights[:, :, None] * aspects[None, :, :]
-        keep = jax.random.bernoulli(rng, 0.5, prod.shape)
-        return jnp.mean(jnp.where(keep, prod / 0.5, 0.0), axis=1)
+        prod = nn.Dropout(0.5, deterministic=False)(prod)
+        return jnp.mean(prod, axis=1)
