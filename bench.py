@@ -44,12 +44,14 @@ def bench_resnet152(batch_size: int = 128, iters: int = 40,
     return batch_size * iters / dt
 
 
-def bench_train_step(iters: int = 10, batch_size: int = 0) -> float:
+def bench_train_step(iters: int = 10, batch_size: int = 0,
+                     dtype: str = "") -> float:
     """Posts/sec through the full jitted accumulating train step at the
     bin/instance.sh recipe scale (transformers+ph+cl, common dim 1024,
     batch 8 x accum 8). batch_size overrides the recipe's microbatch to
     measure the scaling headroom (the recipe model is memory-bound at
-    batch 8 by parity, not MXU-bound)."""
+    batch 8 by parity, not MXU-bound); dtype='bfloat16' measures the
+    --dtype bfloat16 TPU-extension mode (f32 is the parity default)."""
     import __graft_entry__ as g
     from fancyrec_tpu.train.state import init_state, make_optimizer
     from fancyrec_tpu.train.step import make_train_step, stack_microbatches
@@ -58,6 +60,8 @@ def bench_train_step(iters: int = 10, batch_size: int = 0) -> float:
     cfg.queue_size = 512   # queue size doesn't affect step cost materially
     if batch_size:
         cfg.batch_size = batch_size
+    if dtype:
+        cfg.dtype = dtype
     cfg = cfg.finalize()
     model, state = init_state(cfg)
     tx = make_optimizer(cfg)
@@ -263,11 +267,13 @@ def main():
             "vs_baseline": round(fps / BASELINE_FPS, 4),
         }))
     elif mode == "train":
-        batch = int(args[0]) if args else 0
-        pps = bench_train_step(batch_size=batch)
+        batch = int(args[0]) if args and args[0].isdigit() else 0
+        dtype = "bfloat16" if "bf16" in args or "bfloat16" in args else ""
+        pps = bench_train_step(batch_size=batch, dtype=dtype)
         print(json.dumps({
             "metric": "train_step_throughput_recipe_config" + (
-                "_b%d" % batch if batch else ""),
+                "_b%d" % batch if batch else "") + (
+                "_bf16" if dtype else ""),
             "value": round(pps, 1), "unit": "posts/sec/chip",
             "vs_baseline": None,
         }))
