@@ -110,6 +110,9 @@ class Config:
     # TPU-native additions (absent from the reference; defaults keep parity)
     seed: int = 2
     dtype: str = "float32"          # compute dtype for the towers: float32|bfloat16
+    transfer_dtype: str = ""        # host->device staging dtype for float batch
+                                    # arrays ("bfloat16" halves wire traffic on
+                                    # transfer-bound hosts; "" = ship float32)
     mesh_shape: str = ""            # e.g. "4,2" -> (data=4, model=2); "" = all-data
     max_frames: int = 64            # static frame-axis pad (== reference VIDEO_MAX_LEN)
     max_tokens: int = 128           # static token-axis pad for BERT path
@@ -263,6 +266,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", type=str, default=d.dtype)
+    p.add_argument("--transfer_dtype", type=str, default=d.transfer_dtype)
     p.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
     p.add_argument("--max_frames", type=int, default=d.max_frames)
     p.add_argument("--max_tokens", type=int, default=d.max_tokens)

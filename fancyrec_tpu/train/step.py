@@ -26,6 +26,9 @@ from fancyrec_tpu.train.state import TrainState
 
 
 def _micro_loss(model, cfg: Config, params, batch_stats, queue, rng, mb):
+    # arrays staged bf16 over the wire (--transfer_dtype) upcast on device
+    mb = {k: (v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v)
+          for k, v in mb.items()}
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats

@@ -113,23 +113,39 @@ def validate(model, state, loader, cfg: Config, encode_fn=None, mesh=None):
     return composite_score(m), m
 
 
-def _superbatches(loader, accumulation_step: int):
+def _superbatches(loader, accumulation_step: int, transfer_dtype: str = ""):
     """Group loader batches into stacked super-batches of A microbatches.
 
     The trailing partial group is skipped: the reference only steps the
     optimizer on full accumulation groups (trainer.py:382-386); its
     leftover backward passes never reach a step (documented deviation,
-    affects < accum_step batches/epoch)."""
+    affects < accum_step batches/epoch).
+
+    transfer_dtype='bfloat16' downcasts the float32 batch arrays (frames
+    dominate: 33 MB/super-batch at recipe scale) on the host before the
+    device transfer, halving wire traffic on transfer-bound hosts; the
+    step upcasts on device. Opt-in (--transfer_dtype): it rounds inputs
+    to bf16, a documented deviation from the reference's f32 pipeline.
+    """
+    cast = None
+    if transfer_dtype:
+        import ml_dtypes
+        cast = np.dtype(getattr(ml_dtypes, transfer_dtype))
     group = []
     for batch in loader:
         group.append(batch)
         if len(group) == accumulation_step:
-            yield stack_microbatches(group)
+            sb = stack_microbatches(group)
+            if cast is not None:
+                sb = {k: (v.astype(cast) if v.dtype == np.float32 else v)
+                      for k, v in sb.items()}
+            yield sb
             group = []
 
 
 def train_epoch(train_step, state, loader, accumulation_step: int,
-                epoch: int, num_epochs: int, mesh=None):
+                epoch: int, num_epochs: int, mesh=None,
+                transfer_dtype: str = ""):
     print("Epoch[{0} / {1}] LR: {2}".format(
         epoch, num_epochs, current_lr(state)))
     losses = []
@@ -141,8 +157,9 @@ def train_epoch(train_step, state, loader, accumulation_step: int,
     # sharded over 'data' so the step runs data-parallel under GSPMD
     put = (lambda b: shard_batch(mesh, b, batch_axis=1)) if mesh is not None \
         else None
-    stream = prefetch_to_device(_superbatches(loader, accumulation_step),
-                                size=2, device_put=put)
+    stream = prefetch_to_device(
+        _superbatches(loader, accumulation_step, transfer_dtype),
+        size=2, device_put=put)
     for superbatch in stream:
         state, metrics = train_step(state, superbatch)
         losses.append(float(metrics["loss"]))
@@ -319,7 +336,8 @@ def _run(cfg: Config, mesh):
         with profile_ctx:
             state, _ = train_epoch(train_step, state, loaders["train"],
                                    cfg.accumulation_step, epoch,
-                                   cfg.num_epochs, mesh=mesh)
+                                   cfg.num_epochs, mesh=mesh,
+                                   transfer_dtype=cfg.transfer_dtype)
 
         print("=" * 58)
         print("=" * 23 + "Test Phase" + "=" * 25)

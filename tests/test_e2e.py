@@ -47,6 +47,19 @@ def test_train_then_test_bigru_cl(root):
     assert m.auc > 0.8
 
 
+def test_train_bf16_transfer_staging(root):
+    """--transfer_dtype bfloat16 ships float batch arrays half-width over
+    the host->device link; the step upcasts on device. Training must
+    still learn the fixture's brand signal (bf16 input rounding only)."""
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_xferbf16",
+        "--text_net", "bi-gru", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "2",
+        "--transfer_dtype", "bfloat16",
+    ])
+    assert best > 450, best
+
+
 def test_train_transformers_cl(root):
     best = trainer.main(COMMON_ARGS + [
         "--rootpath", root, "--postfix", "run_tf",
