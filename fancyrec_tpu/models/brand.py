@@ -76,8 +76,11 @@ class BrandAspects(nn.Module):
             return (weights @ aspects) / self.num_aspects
         fused = self.fused_dropout
         if fused is None:
+            # auto mode also requires an MXU-lane-friendly common dim
+            # (production is 1024; tiny test configs stay on XLA)
             fused = (jax.default_backend() == "tpu"
-                     and jax.device_count() == 1)
+                     and jax.device_count() == 1
+                     and self.common_dim % 128 == 0)
         if fused:
             from fancyrec_tpu.ops.brand_pallas import aspect_dropout_mean
             seed = jax.random.bits(self.make_rng("dropout"), (1,),

@@ -89,8 +89,12 @@ def _bigru_recurrence(x_fwd, x_bwd, h0, fwd, bwd, use_pallas=None):
     tests, GSPMD meshes where a custom call would not auto-partition).
     """
     if use_pallas is None:
+        hidden = fwd["w_hh"].shape[1]
+        # auto mode also requires MXU-lane-friendly widths (production
+        # rnn sizes are 128-multiples; tiny test configs stay on scan)
         use_pallas = (jax.default_backend() == "tpu"
-                      and jax.device_count() == 1)
+                      and jax.device_count() == 1
+                      and hidden % 128 == 0)
     if not use_pallas:
         return _bigru_scan(x_fwd, x_bwd, h0, fwd, bwd)
     from fancyrec_tpu.ops.gru_scan import gru_scan_pallas
