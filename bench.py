@@ -267,8 +267,12 @@ def main():
             "vs_baseline": round(fps / BASELINE_FPS, 4),
         }))
     elif mode == "train":
-        batch = int(args[0]) if args and args[0].isdigit() else 0
-        dtype = "bfloat16" if "bf16" in args or "bfloat16" in args else ""
+        batch, dtype = 0, ""
+        for tok in args:
+            if tok in ("bf16", "bfloat16"):
+                dtype = "bfloat16"
+            else:
+                batch = int(tok)   # raise loudly on typos
         pps = bench_train_step(batch_size=batch, dtype=dtype)
         print(json.dumps({
             "metric": "train_step_throughput_recipe_config" + (

@@ -138,6 +138,13 @@ class Config:
     # ------------------------------------------------------------------
     def finalize(self) -> "Config":
         """Compute derived sizes. Mirrors trainer.py:154-155,182-234."""
+        if self.transfer_dtype not in ("", "bfloat16"):
+            # fail at parse time, not minutes later in the prefetch
+            # thread; only bfloat16 has a matching on-device upcast
+            # (train/step._micro_loss)
+            raise ValueError(
+                "--transfer_dtype must be '' or 'bfloat16', got %r"
+                % self.transfer_dtype)
         self.text_kernel_sizes_list = [int(x) for x in str(self.text_kernel_sizes).split("-")]
         self.visual_kernel_sizes_list = [int(x) for x in str(self.visual_kernel_sizes).split("-")]
         tks = self.text_kernel_num * len(self.text_kernel_sizes_list)

@@ -37,8 +37,19 @@ def _torch_gru_uniform(hidden: int):
     return init
 
 
-def _bigru_scan(x_fwd, x_bwd, h0, fwd, bwd):
-    """Run BOTH directions of a bi-GRU as ONE lax.scan over T.
+def _input_proj(x_fwd, x_bwd, fwd, bwd):
+    """(T, 2, B, 3H) input contributions for both directions: one big
+    batched MXU matmul, shared by the scan and Pallas recurrence paths.
+    Computes in the activation dtype (params stay f32 in storage)."""
+    dt = x_fwd.dtype
+    w_ih = jnp.stack([fwd["w_ih"], bwd["w_ih"]]).astype(dt)  # (2, 3H, D)
+    b_ih = jnp.stack([fwd["b_ih"], bwd["b_ih"]]).astype(dt)  # (2, 3H)
+    x2 = jnp.stack([x_fwd, x_bwd], axis=1)
+    return jnp.einsum("tdbi,dgi->tdbg", x2, w_ih) + b_ih[:, None, :]
+
+
+def _bigru_scan(x_fwd, x_bwd, fwd, bwd):
+    """Run BOTH directions of a bi-GRU as ONE lax.scan over T (h0 = 0).
 
     Inputs are (T, B, D) per direction (x_bwd already time-reversed by the
     caller); outputs are a pair of (T, B, H). The direction axis is stacked
@@ -56,16 +67,12 @@ def _bigru_scan(x_fwd, x_bwd, h0, fwd, bwd):
     also measured no gain. ~0.3 ms of the 1.45 is the _reverse_by_length
     gathers.
     """
-    # compute in the activation dtype (params stay f32 in storage)
     dt = x_fwd.dtype
-    w_ih = jnp.stack([fwd["w_ih"], bwd["w_ih"]]).astype(dt)  # (2, 3H, D)
     w_hh = jnp.stack([fwd["w_hh"], bwd["w_hh"]]).astype(dt)  # (2, 3H, H)
-    b_ih = jnp.stack([fwd["b_ih"], bwd["b_ih"]]).astype(dt)  # (2, 3H)
     b_hh = jnp.stack([fwd["b_hh"], bwd["b_hh"]]).astype(dt)
-    h0 = jnp.broadcast_to(h0.astype(dt)[None], (2,) + h0.shape)
-    # (T, 2, B, 3H): precompute input contributions outside the scan
-    x2 = jnp.stack([x_fwd, x_bwd], axis=1)
-    xw = jnp.einsum("tdbi,dgi->tdbg", x2, w_ih) + b_ih[:, None, :]
+    hidden = w_hh.shape[2]
+    h0 = jnp.zeros((2, x_fwd.shape[1], hidden), dt)
+    xw = _input_proj(x_fwd, x_bwd, fwd, bwd)
 
     w_hr, w_hz, w_hn = jnp.split(w_hh, 3, axis=1)            # (2, H, H)
     b_hr, b_hz, b_hn = [b[:, None, :] for b in jnp.split(b_hh, 3, axis=1)]
@@ -82,11 +89,12 @@ def _bigru_scan(x_fwd, x_bwd, h0, fwd, bwd):
     return out[:, 0], out[:, 1]
 
 
-def _bigru_recurrence(x_fwd, x_bwd, h0, fwd, bwd, use_pallas=None):
-    """Dispatch the fused recurrence: Pallas kernel on a single TPU
-    device (VMEM-resident recurrent weights -- 1.5x the XLA scan for
-    fwd+bwd at recipe shapes, measured v5e-1), lax.scan elsewhere (CPU
-    tests, GSPMD meshes where a custom call would not auto-partition).
+def _bigru_recurrence(x_fwd, x_bwd, fwd, bwd, use_pallas=None):
+    """Dispatch the fused recurrence (h0 = 0, both paths): Pallas kernel
+    on a single TPU device (VMEM-resident recurrent weights -- 1.5x the
+    XLA scan for fwd+bwd at recipe shapes, measured v5e-1), lax.scan
+    elsewhere (CPU tests, GSPMD meshes where a custom call would not
+    auto-partition).
     """
     if use_pallas is None:
         hidden = fwd["w_hh"].shape[1]
@@ -96,14 +104,10 @@ def _bigru_recurrence(x_fwd, x_bwd, h0, fwd, bwd, use_pallas=None):
                       and jax.device_count() == 1
                       and hidden % 128 == 0)
     if not use_pallas:
-        return _bigru_scan(x_fwd, x_bwd, h0, fwd, bwd)
+        return _bigru_scan(x_fwd, x_bwd, fwd, bwd)
     from fancyrec_tpu.ops.gru_scan import gru_scan_pallas
 
-    dt = x_fwd.dtype
-    w_ih = jnp.stack([fwd["w_ih"], bwd["w_ih"]]).astype(dt)
-    b_ih = jnp.stack([fwd["b_ih"], bwd["b_ih"]]).astype(dt)
-    x2 = jnp.stack([x_fwd, x_bwd], axis=1)
-    xw = jnp.einsum("tdbi,dgi->tdbg", x2, w_ih) + b_ih[:, None, :]
+    xw = _input_proj(x_fwd, x_bwd, fwd, bwd)
     w_hh = jnp.stack([fwd["w_hh"], bwd["w_hh"]])
     b_hh = jnp.stack([fwd["b_hh"], bwd["b_hh"]])
     out = gru_scan_pallas(xw, w_hh, b_hh)
@@ -151,7 +155,6 @@ class BiGRU(nn.Module):
                 b_ih=self.param("b_ih_%s" % direction, init, (3 * self.hidden,)),
                 b_hh=self.param("b_hh_%s" % direction, init, (3 * self.hidden,)),
             )
-        h0 = jnp.zeros((b, self.hidden), self.dtype)
         xt = jnp.swapaxes(x, 0, 1)  # (T, B, D)
 
         if self.packed:
@@ -161,7 +164,7 @@ class BiGRU(nn.Module):
         else:
             rev = jnp.asarray(t if batch_len is None else batch_len)
         xr = _reverse_by_length(x, rev)
-        out_f, out_b = _bigru_recurrence(xt, jnp.swapaxes(xr, 0, 1), h0,
+        out_f, out_b = _bigru_recurrence(xt, jnp.swapaxes(xr, 0, 1),
                                          params["fwd"], params["bwd"],
                                          use_pallas=self.use_pallas)
         out_f = jnp.swapaxes(out_f, 0, 1)

@@ -78,6 +78,9 @@ def test_gru_kernel_odd_batch_and_length():
                                atol=1e-5)
 
 
+@pytest.mark.skipif(ON_TPU, reason="tiny non-128 widths would compile the "
+                    "real Mosaic kernel; hardware parity is covered by "
+                    "test_gru_kernel_on_device_matches_scan_f32")
 def test_bigru_module_pallas_path_matches_scan_path():
     b, t, d, h = 3, 7, 10, 8
     x = jax.random.normal(jax.random.PRNGKey(0), (b, t, d), jnp.float32)

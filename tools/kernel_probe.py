@@ -1,6 +1,6 @@
 """A/B the training Pallas kernels against their XLA lowerings (real TPU).
 
-Usage: python tools/kernel_probe.py [gru|brand] [batch]
+Usage: python tools/kernel_probe.py [gru|brand] [batch] [bf16]
 
 Reproduces the numbers recorded in CLAUDE.md / README (200-iter
 amortized -- the dev tunnel has a ~0.5-1.5 ms per-call dispatch floor,
@@ -116,6 +116,8 @@ if __name__ == "__main__":
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
         8 if which == "gru" else 64)
     if which == "gru":
-        probe_gru(b=batch)
+        dtype = (jnp.bfloat16 if len(sys.argv) > 3
+                 and sys.argv[3] in ("bf16", "bfloat16") else jnp.float32)
+        probe_gru(b=batch, dtype=dtype)
     else:
         probe_brand(b=batch)
