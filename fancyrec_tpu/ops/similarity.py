@@ -153,7 +153,7 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
-                   block: int = 4096, use_pallas: bool = True,
+                   block: int = 4096,
                    pvary_axis: Optional[str] = None,
                    score_dtype: jnp.dtype = jnp.float32,
                    n_valid=None, strategy: str = "auto",
@@ -211,7 +211,11 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
             raw = jnp.dot(brands_n.astype(score_dtype),
                           posts.T.astype(score_dtype),
                           preferred_element_type=jnp.float32)
-            inv = jax.lax.rsqrt(jnp.sum(posts * posts, axis=1))  # f32 norms
+            # f32 norms; all-zero rows (possible via index append) score 0
+            # instead of NaN-poisoning top_k, matching the int8 path
+            sq = jnp.sum(posts * posts, axis=1)
+            inv = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)),
+                            0.0)
             scores = raw * inv[None, :]
         if n_valid is not None:
             scores = jnp.where(jnp.arange(n)[None, :] < n_valid,
@@ -234,10 +238,16 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
         inv_p = jnp.pad(posts_inv, (0, np_ - n))
         inv_blocks = inv_p.reshape(nb, block)
     else:
-        posts_p = jnp.where(pad_rows[:, None], 1.0, posts_p)
+        # column 1/norms computed ONCE in f32 (pad and all-zero rows get
+        # 0 -> score 0, masked to -inf below); the streamed blocks carry
+        # only the scoring dtype, so score_dtype=bfloat16 still halves
+        # the scan's HBM traffic while norms stay exact
+        sq = jnp.sum(posts_p * posts_p, axis=1)
+        inv_p = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)),
+                          0.0)
+        inv_blocks = inv_p.reshape(nb, block)
         if score_dtype != jnp.float32:
             posts_p = posts_p.astype(score_dtype)
-        inv_blocks = jnp.zeros((nb, 1), jnp.float32)  # unused placeholder
         brands_c = brands_n.astype(score_dtype)
     blocks = posts_p.reshape(nb, block, d)
     valid = (~pad_rows).reshape(nb, block)
@@ -248,9 +258,10 @@ def retrieval_topk(brands: jnp.ndarray, posts: jnp.ndarray, k: int,
         if quantized:
             scores = _int8_scores(qb, b_inv, blk, inv_blk)
         else:
-            inv = jax.lax.rsqrt(jnp.sum(blk * blk, axis=1, keepdims=True))
-            scores = jnp.dot(brands_c, ((blk * inv).astype(score_dtype)).T,
-                             preferred_element_type=jnp.float32)
+            # norms applied AFTER the dot, like the matrix path
+            raw = jnp.dot(brands_c, blk.T,
+                          preferred_element_type=jnp.float32)
+            scores = raw * inv_blk[None, :]
         blk_idx = (start + jnp.arange(block, dtype=jnp.int32)).astype(jnp.int32)
         ok = vmask if n_valid is None else vmask & (blk_idx < n_valid)
         scores = jnp.where(ok[None, :], scores, -jnp.inf)

@@ -270,16 +270,23 @@ class PostIndex:
         if os.path.exists(qpath) and os.path.exists(ipath) \
                 and os.path.getmtime(qpath) >= os.path.getmtime(fpath):
             q = np.fromfile(qpath, np.int8)
-            inv = np.load(ipath).astype(np.float32)
+            try:
+                inv = np.load(ipath).astype(np.float32)
+            except (ValueError, OSError):
+                inv = np.zeros(0, np.float32)   # corrupt sidecar: rebuild
             if q.size == n * d and inv.size == n:
                 return q.reshape(n, d), inv
         q, inv = quantize_rows_int8_np(
             self.store.read_rows(np.arange(n)))
         try:
+            # both sidecars written atomically (tmp + rename): a crash
+            # mid-save must leave either a complete file or none, never a
+            # truncated one that poisons every later load
             with open(qpath + ".tmp", "wb") as f:
                 f.write(np.ascontiguousarray(q).tobytes())
             os.replace(qpath + ".tmp", qpath)
-            np.save(ipath, inv)
+            np.save(ipath + ".tmp.npy", inv)
+            os.replace(ipath + ".tmp.npy", ipath)
         except OSError:
             pass
         return q, inv
@@ -335,13 +342,20 @@ class PostIndex:
     def query(self, brand_ids: Sequence[int], k: int = 10,
               block: int = 4096, score_dtype=jnp.float32
               ) -> Tuple[np.ndarray, list]:
-        """-> (scores (B, k), [[cap_id, ...] per brand]) best-first."""
+        """-> (scores (B, k), [[cap_id, ...] per brand]) best-first.
+
+        When k exceeds the number of posts, the trailing slots carry
+        score -inf and name None (the top-k kernels pad with index-0
+        filler that must not surface as a real cap_id)."""
         q = jnp.asarray(self.brand_embs[np.asarray(brand_ids)])
         fn = self._jitted_topk(q.shape[0], k, block, score_dtype)
         vals, idxs = fn(q, self.posts(), self._posts_inv)
         idxs = np.asarray(idxs)
-        names = [[self.cap_ids[i] for i in row] for row in idxs]
-        return np.asarray(vals), names
+        vals = np.asarray(vals)
+        names = [[self.cap_ids[i] if np.isfinite(v) else None
+                  for i, v in zip(row, vrow)]
+                 for row, vrow in zip(idxs, vals)]
+        return vals, names
 
 
 def main(argv=None):

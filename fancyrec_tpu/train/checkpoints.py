@@ -38,19 +38,21 @@ _MAGIC = b"FRTPU1\n"
 
 def save_checkpoint(path: str, cfg: Config, params, batch_stats,
                     epoch: int, best_rsum: float, eiters: int,
-                    opt_state=None) -> None:
+                    opt_state=None, extra_meta=None) -> None:
     """opt_state (optional): full optimizer moments, so an elastic resume
     continues the exact Adam trajectory (the reference drops optimizer
-    state on resume, trainer.py:262-279)."""
+    state on resume, trainer.py:262-279). extra_meta: additional scalar
+    state to persist (LR-decay/early-stop counters)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    meta = {"epoch": epoch, "best_rsum": best_rsum, "Eiters": eiters,
+            "has_opt_state": opt_state is not None}
+    meta.update(extra_meta or {})
     payload = {
         "model": serialization.to_bytes(
             {"params": jax.device_get(params),
              "batch_stats": jax.device_get(batch_stats)}),
         "config": cfg.to_json().encode(),
-        "meta": json.dumps({"epoch": epoch, "best_rsum": best_rsum,
-                            "Eiters": eiters,
-                            "has_opt_state": opt_state is not None}).encode(),
+        "meta": json.dumps(meta).encode(),
         "opt": (serialization.to_bytes(jax.device_get(opt_state))
                 if opt_state is not None else b""),
     }
@@ -89,17 +91,24 @@ def load_checkpoint(path: str, template=None) -> Dict[str, Any]:
 def maybe_save_best(state_dir: str, cfg: Config, params, batch_stats,
                     epoch: int, score: float, best_rsum: float,
                     eiters: int, best_epoch: Optional[int],
-                    opt_state=None) -> float:
+                    opt_state=None, extra_meta=None) -> float:
     """Reference checkpoint policy (trainer.py:417-422): save the epoch file
     when score > best*0.99 (or no best yet), copy to model_best on
-    improvement, return the new best."""
+    improvement, return the new best.
+
+    The checkpoint records the RUNNING best (max of score and the best so
+    far, like the reference, which saves after updating best_rsum): a
+    non-best epoch file restored by auto_resume must not let a later
+    slightly-better-than-it epoch overwrite model_best."""
     filename = os.path.join(state_dir, "checkpoint_epoch_%s.pth.tar" % epoch)
+    new_best = max(score, best_rsum)
     if best_epoch is None or score > best_rsum * 0.99:
         save_checkpoint(filename, cfg, params, batch_stats, epoch + 1,
-                        score, eiters, opt_state=opt_state)
+                        new_best, eiters, opt_state=opt_state,
+                        extra_meta=extra_meta)
     if score > best_rsum:
         shutil.copyfile(filename, os.path.join(state_dir, "model_best.pth.tar"))
-    return max(score, best_rsum)
+    return new_best
 
 
 def restore_opt_state(ckpt: Dict[str, Any], opt_state_template):

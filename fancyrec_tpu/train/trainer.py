@@ -162,8 +162,11 @@ def train_epoch(train_step, state, loader, accumulation_step: int,
         size=2, device_put=put)
     for superbatch in stream:
         state, metrics = train_step(state, superbatch)
-        losses.append(float(metrics["loss"]))
+        # keep the loss on device: a float() here would block the next
+        # dispatch on a device->host round-trip per super-batch
+        losses.append(metrics["loss"])
         n_items += superbatch["frames"].shape[0] * superbatch["frames"].shape[1]
+    losses = [float(x) for x in losses]
     dt = time.time() - t0
     if losses:
         print("epoch %d: mean loss %.4f  (%d updates, %.1f posts/s)"
@@ -305,8 +308,15 @@ def _run(cfg: Config, mesh):
             if cfg.auto_resume:
                 start_epoch = int(ckpt.get("epoch", 0))
                 best_rsum = float(ckpt.get("best_rsum", 0.0))
+                # decay/stop schedule state (absent from reference
+                # checkpoints: defaults keep their semantics)
+                no_impr = int(ckpt.get("no_impr", 0))
+                lr_counter = int(ckpt.get("lr_counter", 0))
             print("=> loaded checkpoint (epoch %s, best_rsum %s)"
                   % (ckpt.get("epoch"), ckpt.get("best_rsum")))
+            # the reference validates the resumed model on the VAL loader
+            # here even though epoch-loop validation uses validate_split
+            # (trainer.py:262-274) -- preserved
             validate(model, state, loaders["val"], cfg, mesh=mesh)
         else:
             print("=> no checkpoint found at '%s'" % cfg.resume)
@@ -357,29 +367,42 @@ def _run(cfg: Config, mesh):
         print(" * Current perf in Test: {}".format(score))
         print(" * Best perf in Test: {}".format(best_rsum))
 
+        # LR-decay / early-stop counter arithmetic (reference
+        # trainer.py:305-319) runs before the checkpoint write so an
+        # elastic auto_resume restores the counters instead of silently
+        # resetting the decay/stop schedule; the LR scalings themselves
+        # apply after the save, exactly where the reference applies them.
+        lr_counter += 1
+        stop = half = False
+        if not is_best:
+            no_impr += 1
+            if no_impr > 10:
+                stop = True
+            elif lr_counter > 2:
+                half = True
+        else:
+            no_impr = 0
+
         if is_primary():
             best_rsum = checkpoints.maybe_save_best(
                 cfg.logger_name, cfg, state.params, state.batch_stats,
                 epoch, score, best_rsum, int(state.step) + eiters, best_epoch,
-                opt_state=state.opt_state)
+                opt_state=state.opt_state,
+                extra_meta={"no_impr": no_impr,
+                            "lr_counter": 0 if half else lr_counter})
         else:
             # non-primary hosts track the same best without writing
             best_rsum = max(score, best_rsum)
         if is_best:
             best_epoch = epoch
 
-        lr_counter += 1
         state = scale_lr(state, cfg.lr_decay_rate)
-        if not is_best:
-            no_impr += 1
-            if no_impr > 10:
-                print("Early stopping happened.\n")
-                break
-            if lr_counter > 2:
-                state = scale_lr(state, 0.5)
-                lr_counter = 0
-        else:
-            no_impr = 0
+        if stop:
+            print("Early stopping happened.\n")
+            break
+        if half:
+            state = scale_lr(state, 0.5)
+            lr_counter = 0
 
     if is_primary():
         with open(os.path.join(cfg.logger_name, "val_metric.txt"), "w") as f:

@@ -39,3 +39,38 @@ def test_auto_resume_continues_from_latest(tmp_path):
     with pytest.raises(SystemExit):
         trainer.main(args + ["--num_epochs", "3", "--auto_resume",
                              "--overwrite", "0"])
+
+
+def test_checkpoint_records_running_best_not_epoch_score(tmp_path):
+    """A non-best epoch file must store the RUNNING best so an elastic
+    restart from it cannot let a worse-than-global-best later epoch
+    overwrite model_best (maybe_save_best saves epoch files whenever
+    score > best*0.99, i.e. also for non-best epochs)."""
+    import numpy as np
+    from fancyrec_tpu.config import Config
+    from fancyrec_tpu.train import checkpoints
+
+    cfg = Config(brand_num=2, brand_aspect=4, common_embedding_size=8,
+                 visual_feat_dim=8, bow_vocab_size=8, vocab_size=16,
+                 text_net="bi-gru", visual_rnn_size=4, text_rnn_size=4,
+                 visual_kernel_num=2, text_kernel_num=2,
+                 text_mapping_size=8, visual_mapping_size=8).finalize()
+    params = {"w": np.zeros(3, np.float32)}
+    d = str(tmp_path)
+
+    best = checkpoints.maybe_save_best(d, cfg, params, {}, epoch=3,
+                                       score=10.0, best_rsum=0.0,
+                                       eiters=1, best_epoch=None)
+    assert best == 10.0
+    # epoch 7 scores 9.95: within the 0.99 band, so the file is written,
+    # but it must record best_rsum=10.0 (the running best), not 9.95
+    best = checkpoints.maybe_save_best(d, cfg, params, {}, epoch=7,
+                                       score=9.95, best_rsum=best,
+                                       eiters=2, best_epoch=3,
+                                       extra_meta={"no_impr": 4,
+                                                   "lr_counter": 1})
+    assert best == 10.0
+    ck = checkpoints.load_checkpoint(
+        os.path.join(d, "checkpoint_epoch_7.pth.tar"))
+    assert ck["best_rsum"] == 10.0
+    assert ck["no_impr"] == 4 and ck["lr_counter"] == 1

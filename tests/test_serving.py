@@ -250,3 +250,17 @@ def test_incremental_append_and_refresh(tmp_path):
         append_to_index(idx_dir, ["new0#enc#0"], rng.randn(1, 16), [0])
     with pytest.raises(ValueError, match="dim mismatch"):
         append_to_index(idx_dir, ["x"], rng.randn(1, 8), [0])
+
+
+def test_query_k_exceeding_posts_yields_none_filler(tmp_path):
+    """k > n_posts: filler slots carry score -inf and name None -- the
+    kernels pad indices with 0, which must not surface as a real cap_id."""
+    idx_dir = str(tmp_path / "idx")
+    _toy_index(idx_dir, n_posts=6)
+    index = PostIndex(idx_dir)
+    vals, names = index.query([0, 1], k=10)
+    assert vals.shape == (2, 10)
+    for vrow, nrow in zip(vals, names):
+        assert np.isneginf(vrow[6:]).all()
+        assert all(n is None for n in nrow[6:])
+        assert all(n is not None for n in nrow[:6])

@@ -179,3 +179,26 @@ def test_topk_k_exceeds_post_count():
         assert vals.shape == (brands.shape[0], 10)
         assert np.isneginf(vals[:, 5:]).all(), strategy
         assert (np.diff(vals[:, :5], axis=1) <= 1e-6).all()
+
+
+def test_topk_zero_rows_never_rank():
+    """All-zero post rows (possible via index append) must score 0, not
+    NaN-poison top_k -- both strategies, and bf16 scan scoring must use
+    the same exact-f32 column norms as the matrix path."""
+    brands, posts = _case(4, n=64)
+    posts = np.asarray(posts).copy()
+    posts[7] = 0.0
+    posts[33] = 0.0
+    ref_v, ref_i = retrieval_topk(jnp.asarray(brands), jnp.asarray(posts),
+                                  k=5, strategy="matrix")
+    assert np.isfinite(np.asarray(ref_v)).all()
+    assert not {7, 33} & set(np.asarray(ref_i)[:, 0].tolist())
+    for strategy, dt in (("scan", jnp.float32), ("scan", jnp.bfloat16),
+                         ("matrix", jnp.bfloat16)):
+        v, i = retrieval_topk(jnp.asarray(brands), jnp.asarray(posts),
+                              k=5, block=16, strategy=strategy,
+                              score_dtype=dt)
+        assert np.isfinite(np.asarray(v)).all(), (strategy, dt)
+        tol = 1e-5 if dt == jnp.float32 else 2e-2
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                                   atol=tol)
