@@ -41,6 +41,10 @@ class CaptionSet:
             for line in f:
                 parts = line.strip().split(" ", 1)
                 if len(parts) != 2:
+                    # the reference also skips malformed/empty-caption
+                    # lines silently (try/except-continue,
+                    # data_provider.py:185-189) -- e.g. posts whose
+                    # caption cleans to nothing (emoji/CJK-only)
                     continue
                 cap_id, caption = parts
                 self.cap_ids.append(cap_id)

@@ -68,26 +68,49 @@ def prefetch_to_device(iterator, size: int = 2,
     put = device_put or jax.device_put
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item):
+        # bounded put that gives up when the consumer is gone: a consumer
+        # that raised mid-epoch abandons the generator, and a producer
+        # blocked forever on a full queue would pin `size` device-staged
+        # batches in HBM for the process lifetime
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         # a producer failure must reach the consumer: swallowing it would
         # silently truncate the epoch and keep training on partial data
         try:
             for batch in iterator:
-                q.put(put(batch))
-            q.put(_END)
+                if not _put(put(batch)):
+                    return
+            _put(_END)
         except BaseException as exc:  # noqa: BLE001 - re-raised below
-            q.put(_ProducerError(exc))
+            _put(_ProducerError(exc))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, _ProducerError):
-            raise item.exc
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, _ProducerError):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class _ProducerError:

@@ -178,8 +178,14 @@ def _per_brand_stats(s: jnp.ndarray, brands: jnp.ndarray, b: jnp.ndarray,
     changed = jnp.concatenate([jnp.ones(1, bool), vals[1:] != vals[:-1]])
     first_occ = jax.lax.cummax(jnp.where(changed, idx, 0))
     cnt_neg_below = neg_prefix[first_occ]            # negs with score < vals[i]
-    auc_num = jnp.sum(jnp.where(isneg_s == 0, cnt_neg_below, 0))
-    auc = auc_num / jnp.maximum(p_cnt * n_cnt, 1)
+    # per-positive ratio, summed in f32: the pair-count form overflows
+    # int32 at index scale (p_cnt*n_cnt ~ 1.9e10 at 1M posts; the int32
+    # sum of counts likewise). Counts are <= N < 2^24 so each ratio is
+    # exact in f32; the tree-reduced mean is accurate to ~1e-6.
+    ratio = cnt_neg_below.astype(jnp.float32) / jnp.maximum(
+        n_cnt, 1).astype(jnp.float32)
+    auc = (jnp.sum(jnp.where(isneg_s == 0, ratio, 0.0))
+           / jnp.maximum(p_cnt, 1).astype(jnp.float32))
 
     # --- NDCG@10/50 from the top-k only (lax.top_k breaks ties by lower
     # index, same as the stable descending order) ---

@@ -114,7 +114,10 @@ def getScorer(name: str) -> MetricScorer:
 # ---------------------------------------------------------------------------
 
 def batch_ap(sorted_labels: np.ndarray, k: int = 0) -> np.ndarray:
-    lab = (np.asarray(sorted_labels) > 0).astype(np.float64)
+    # relevance rule matches the scalar APScorer (reference
+    # util/metric.py: label >= 1 counts as relevant, so graded labels in
+    # (0, 1) are NOT hits)
+    lab = (np.asarray(sorted_labels) >= 1).astype(np.float64)
     q, n = lab.shape
     length = n if k <= 0 or k > n else k
     rel_cum = np.cumsum(lab[:, :length], axis=1)

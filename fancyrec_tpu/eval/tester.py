@@ -37,7 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--workers", type=int, default=0)
     p.add_argument("--logger_name", default="runs")
     p.add_argument("--checkpoint_name", default="model_best.pth.tar", type=str)
-    p.add_argument("--n_caption", type=int, default=20)
+    # default 1, not the reference's legacy 20 (tester.py:37): insCar has
+    # one caption per post and every reference recipe overrides to 1
+    # (bin/public_cluster.sh:9, test_mac.sh:4); 20 would trip the
+    # consistency assert on any real collection
+    p.add_argument("--n_caption", type=int, default=1)
     # parsed-but-unused, faithful to the reference (tester.py:39-40 accepts
     # --level_vis/--level_txt but the encoder levels always come from the
     # checkpoint's embedded train-time config)
@@ -115,7 +119,10 @@ def main(argv=None):
         text_net=cfg.text_net, rnn_vocab=rnn_vocab, tokenizer=tokenizer,
         video2frames=video2frames, img_info=img_info, cls_info=cls_info,
         max_frames=cfg.max_frames, max_tokens=cfg.max_tokens,
-        max_words=cfg.max_words)
+        max_words=cfg.max_words,
+        # the reference tester's caption/visual consistency guard
+        # (tester.py:97 -> data_provider.py:203-205)
+        n_caption=opt.n_caption)
     loader = BatchLoader(dataset, opt.batch_size, final_batch="pad")
 
     model = FancyRec(cfg)

@@ -204,5 +204,13 @@ class BigFileWriter:
     def __enter__(self) -> "BigFileWriter":
         return self
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            # do NOT finalize on error: id.txt/shape.txt are what marks a
+            # store complete (preprocess resume guards key on shape.txt),
+            # so a crashed extraction must not leave a valid-looking
+            # truncated store behind
+            self._fh.close()
+            self._closed = True
+            return
         self.close()

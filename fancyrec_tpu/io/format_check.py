@@ -20,17 +20,29 @@ from fancyrec_tpu.io.dictfile import read_dict
 
 def check_feature_dir(feature_dir: str, sample: int = 1024) -> list:
     problems = []
+    # byte-length check BEFORE opening the reader: a truncated feature.bin
+    # (the likely post-crash corruption) makes the reader's mmap raise, so
+    # the specific diagnostic would otherwise be unreachable
+    shape_path = os.path.join(feature_dir, "shape.txt")
+    bin_path = os.path.join(feature_dir, "feature.bin")
+    try:
+        with open(shape_path) as f:
+            rows, dims = (int(x) for x in f.read().split())
+        expect = rows * dims * 4
+        actual = os.path.getsize(bin_path)
+        if actual < expect:
+            return ["feature.bin truncated: %d < %d bytes"
+                    % (actual, expect)]
+        if actual > expect:
+            problems.append(
+                "feature.bin has %d trailing bytes" % (actual - expect))
+    except (OSError, ValueError) as e:
+        return ["unreadable store: %s" % e]
+
     try:
         store = ImageBigFile(feature_dir)
     except Exception as e:
         return ["unreadable store: %s" % e]
-
-    expect = store.nr_of_rows * store.ndims * 4
-    actual = os.path.getsize(store.binary_file)
-    if actual < expect:
-        problems.append("feature.bin truncated: %d < %d bytes" % (actual, expect))
-    elif actual > expect:
-        problems.append("feature.bin has %d trailing bytes" % (actual - expect))
 
     if len(set(store.names)) != len(store.names):
         problems.append("duplicate names in id.txt")

@@ -133,3 +133,21 @@ def test_format_check_flags_corruption(tmp_path, capsys):
     assert "non-finite" in text
     assert "unknown frames" in text
     assert main([bad]) == 1
+
+
+def test_writer_does_not_finalize_on_error(tmp_path):
+    """A crashed extraction must not leave a valid-looking store:
+    id.txt/shape.txt mark completion (preprocess resume guards key on
+    shape.txt), so they are only written on a clean exit."""
+    import os
+    import numpy as np
+    import pytest as _pytest
+    from fancyrec_tpu.io.bigfile import BigFileWriter
+
+    d = str(tmp_path / "store")
+    with _pytest.raises(RuntimeError):
+        with BigFileWriter(d) as w:
+            w.write("a", np.zeros(4, np.float32))
+            raise RuntimeError("mid-extraction crash")
+    assert not os.path.exists(os.path.join(d, "shape.txt"))
+    assert not os.path.exists(os.path.join(d, "id.txt"))

@@ -104,3 +104,17 @@ def test_jax_pad_labels_do_not_change_metrics(seed):
     for name in RankingMetrics._fields:
         assert getattr(got, name) == pytest.approx(
             getattr(ref, name), abs=1e-5), name
+
+
+def test_auc_no_int32_overflow_at_scale():
+    """The pair-count AUC form overflows int32 once p_cnt*n_cnt passes
+    2^31 (~70k pos x 70k neg); the kernel must agree with the int64
+    numpy oracle at that scale (regression: it returned -3.05)."""
+    import jax
+    rng = np.random.RandomState(0)
+    n = 140_000
+    scores = rng.randn(2, n).astype(np.float32)
+    brands = rng.randint(0, 2, n).astype(np.int32)
+    k = jax.jit(lambda s, b: ranking_metrics_jax(s, b, 2))(scores, brands)
+    o = ranking_metrics_oracle(scores, brands, 2)
+    assert abs(float(k.auc) - o.auc) < 1e-5
