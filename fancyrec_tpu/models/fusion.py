@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fancyrec_tpu.models.layers import BatchNorm1dTorch, xavier_uniform_torch
+from fancyrec_tpu.models.layers import (
+    BatchNorm1dTorch, torch_linear_init, xavier_uniform_torch)
 
 
 class FusionFC(nn.Module):
@@ -73,8 +74,9 @@ class FusionAttnReduction(nn.Module):
 
     @nn.compact
     def __call__(self, visual_embs, text_embs, *, deterministic: bool = True):
-        d = nn.initializers.normal(0.02)
-        # torch Linear(1, N, bias=False) on (..., 1) == outer product with w
+        # torch Linear(1, N, bias=False) on (..., 1) == outer product with
+        # w; torch's default init at fan_in=1 is U(-1, 1) (model.py:504-505)
+        d = torch_linear_init(1)
         w_vis = self.param("vis_linear", d, (self.text_size,))
         w_txt = self.param("text_linear", d, (self.visual_size,))
         b = self.param("b", nn.initializers.zeros, (self.visual_size,))
@@ -88,8 +90,14 @@ class FusionAttnReduction(nn.Module):
         visual_score = jnp.einsum("btv,bv->bt", alpha, visual_embs)
         text_score = jnp.einsum("btv,bt->bv", alpha, text_embs)
 
+        # the reference leaves these on torch's DEFAULT Linear init (no
+        # xavier here, model.py:511-512)
         fv = nn.Dense(self.common_dim, name="fusion_visual_linear",
+                      kernel_init=torch_linear_init(self.text_size),
+                      bias_init=torch_linear_init(self.text_size),
                       dtype=self.dtype)(visual_score)
         ft = nn.Dense(self.common_dim, name="fusion_text_linear",
+                      kernel_init=torch_linear_init(self.visual_size),
+                      bias_init=torch_linear_init(self.visual_size),
                       dtype=self.dtype)(text_score)
         return nn.relu(fv + ft)

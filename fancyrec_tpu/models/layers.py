@@ -23,6 +23,18 @@ import numpy as np
 from flax import linen as nn
 
 
+def torch_linear_init(fan_in: int):
+    """torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) for the
+    kernel and U(-1/sqrt(fan_in), +) for the bias -- both reduce to
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def xavier_uniform_torch():
     """Uniform(-r, r), r = sqrt(6/(fan_in+fan_out)) -- reference model.py:48-55."""
     return nn.initializers.xavier_uniform()

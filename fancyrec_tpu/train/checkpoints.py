@@ -56,12 +56,17 @@ def save_checkpoint(path: str, cfg: Config, params, batch_stats,
         "opt": (serialization.to_bytes(jax.device_get(opt_state))
                 if opt_state is not None else b""),
     }
-    with open(path, "wb") as f:
+    # atomic write: a preemption mid-save must never leave a truncated
+    # file that _latest_epoch_checkpoint would pick as the newest
+    # checkpoint and auto_resume would then crash-loop on
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(_MAGIC)
         for key in ("config", "meta", "model", "opt"):
             blob = payload[key]
             f.write(struct.pack("<Q", len(blob)))
             f.write(blob)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, template=None) -> Dict[str, Any]:
@@ -97,9 +102,10 @@ def maybe_save_best(state_dir: str, cfg: Config, params, batch_stats,
     improvement, return the new best.
 
     The checkpoint records the RUNNING best (max of score and the best so
-    far, like the reference, which saves after updating best_rsum): a
-    non-best epoch file restored by auto_resume must not let a later
-    slightly-better-than-it epoch overwrite model_best."""
+    far). Deliberate fix, listed in README fidelity notes: the reference
+    stores the current epoch's score as 'best_rsum'
+    (trainer.py:294-297), so a resume from a non-best epoch file would
+    let a later, globally-worse epoch overwrite model_best."""
     filename = os.path.join(state_dir, "checkpoint_epoch_%s.pth.tar" % epoch)
     new_best = max(score, best_rsum)
     if best_epoch is None or score > best_rsum * 0.99:

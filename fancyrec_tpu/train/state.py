@@ -40,8 +40,12 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         opt = optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.learning_rate, eps=1e-8)
     elif cfg.optimizer == "rmsprop":
+        # torch.optim.RMSprop semantics (reference trainer.py:279):
+        # alpha=0.99 and eps ADDED OUTSIDE the sqrt; optax defaults
+        # (decay=0.9, eps inside sqrt) are a different estimator
         opt = optax.inject_hyperparams(optax.rmsprop)(
-            learning_rate=cfg.learning_rate, eps=1e-8)
+            learning_rate=cfg.learning_rate, decay=0.99, eps=1e-8,
+            eps_in_sqrt=False)
     else:
         raise ValueError(cfg.optimizer)
     chain = [opt]

@@ -43,7 +43,10 @@ def _micro_loss(model, cfg: Config, params, batch_stats, queue, rng, mb):
 
     new_queue = queue
     if cfg.loss_fun == "CrossCLR":
-        loss = crossclr_loss(brand_emb, post_emb, cost_style=cfg.cost_style)
+        # the reference builds CrossCLR_onlyIntraModality() with ALL
+        # defaults (trainer.py:344), so --cost_style is ignored and the
+        # loss always uses 'sum' (loss_ctrs.py:34) -- preserved
+        loss = crossclr_loss(brand_emb, post_emb, cost_style="sum")
     elif cfg.loss_fun == "mrl":
         loss = triplet_loss(mb["brand_ids"], brand_emb, post_emb,
                             margin=cfg.margin, cost_style=cfg.cost_style,
@@ -66,7 +69,10 @@ def make_train_step(model, cfg: Config, tx: optax.GradientTransformation):
     grad_fn = jax.value_and_grad(
         partial(_micro_loss, model, cfg), argnums=0, has_aux=True)
 
-    @jax.jit
+    # donate the incoming state: params + Adam moments at recipe scale are
+    # ~1.2 GB f32, and without donation old and new copies coexist in HBM
+    # across every update (all call sites reassign state = step(state, .))
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, superbatch):
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
 

@@ -312,6 +312,10 @@ def _run(cfg: Config, mesh):
                 # checkpoints: defaults keep their semantics)
                 no_impr = int(ckpt.get("no_impr", 0))
                 lr_counter = int(ckpt.get("lr_counter", 0))
+                # re-apply the end-of-epoch LR scalings that ran after
+                # the checkpoint was written (exact-trajectory resume)
+                state = scale_lr(state,
+                                 float(ckpt.get("pending_lr_scale", 1.0)))
             print("=> loaded checkpoint (epoch %s, best_rsum %s)"
                   % (ckpt.get("epoch"), ckpt.get("best_rsum")))
             # the reference validates the resumed model on the VAL loader
@@ -388,8 +392,15 @@ def _run(cfg: Config, mesh):
                 cfg.logger_name, cfg, state.params, state.batch_stats,
                 epoch, score, best_rsum, int(state.step) + eiters, best_epoch,
                 opt_state=state.opt_state,
-                extra_meta={"no_impr": no_impr,
-                            "lr_counter": 0 if half else lr_counter})
+                extra_meta={
+                    "no_impr": no_impr,
+                    "lr_counter": 0 if half else lr_counter,
+                    # the saved opt_state predates this epoch's LR
+                    # scalings; auto_resume applies this factor so the
+                    # resumed epoch trains at exactly the LR an
+                    # uninterrupted run would have used
+                    "pending_lr_scale": cfg.lr_decay_rate * (
+                        0.5 if half else 1.0)})
         else:
             # non-primary hosts track the same best without writing
             best_rsum = max(score, best_rsum)
