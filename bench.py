@@ -252,6 +252,48 @@ def bench_eval(n_posts: int = 4096, iters: int = 3) -> dict:
             "n_posts": n_posts}
 
 
+def bench_all(out_path: str = "bench_full.json") -> dict:
+    """Run every sub-benchmark and write ONE machine-readable artifact so
+    per-round perf claims are auditable (committed per round next to
+    BENCH_r*.json). Keys mirror the individual subcommand metrics."""
+    results = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        try:
+            results[name] = fn()
+        except Exception as e:          # record, keep benching
+            results[name] = {"error": "%s: %s" % (type(e).__name__, e)}
+        print("[bench_all] %s done in %.1fs" % (name, time.perf_counter() - t0),
+              file=sys.stderr, flush=True)
+
+    run("resnet152_fps", lambda: round(bench_resnet152(), 1))
+    run("train_step_posts_per_sec", lambda: round(bench_train_step(), 1))
+    run("train_step_b64_bf16_posts_per_sec",
+        lambda: round(bench_train_step(batch_size=64, dtype="bfloat16"), 1))
+    run("train_resident", lambda: {
+        k: round(v, 4) for k, v in bench_train_resident().items()})
+    run("retrieval_1m_mposts_per_sec",
+        lambda: round(bench_retrieval() / 1e6, 2))
+    run("retrieval_1m_int8_mposts_per_sec",
+        lambda: round(bench_retrieval(quantize="int8") / 1e6, 2))
+    run("eval", lambda: {k: round(v, 2) for k, v in bench_eval().items()})
+    run("serving_query_ms", lambda: round(
+        bench_serving()["query_latency_ms"], 1))
+    run("serving_query_int8_ms", lambda: round(
+        bench_serving(quantize="int8")["query_latency_ms"], 1))
+
+    artifact = {
+        "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        f.write(json.dumps(artifact, indent=2) + "\n")
+    return artifact
+
+
 def main():
     mode = "resnet"
     args = sys.argv[1:]
@@ -316,10 +358,21 @@ def main():
             "vs_baseline": None,
             "metric_kernel_ms": round(r["metric_kernel_ms"], 1),
         }))
+    elif mode == "all":
+        out = args[0] if args else "bench_full.json"
+        artifact = bench_all(out)
+        fps = artifact["results"].get("resnet152_fps")
+        print(json.dumps({
+            "metric": "resnet152_feature_extraction_throughput",
+            "value": fps, "unit": "frames/sec/chip",
+            "vs_baseline": (round(fps / BASELINE_FPS, 4)
+                            if isinstance(fps, (int, float)) else None),
+            "artifact": out,
+        }))
     else:
         raise SystemExit("usage: bench.py [resnet [batch]|train [batch]"
                          "|train_resident|retrieval [int8]|eval"
-                         "|serving [int8]]")
+                         "|serving [int8]|all [out.json]]")
 
 
 if __name__ == "__main__":

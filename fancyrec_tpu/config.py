@@ -145,6 +145,19 @@ class Config:
             raise ValueError(
                 "--transfer_dtype must be '' or 'bfloat16', got %r"
                 % self.transfer_dtype)
+        if self.mesh_shape:
+            # reject silent 1/N throughput: a batch that does not divide
+            # the data mesh axis cannot shard, so shard_batch would
+            # replicate every step (correct results, all devices doing
+            # the full batch). Fail at config time instead.
+            data_axis = int(str(self.mesh_shape).split(",")[0])
+            if data_axis > 1 and self.batch_size % data_axis != 0:
+                raise ValueError(
+                    "--batch_size %d is not divisible by the data mesh "
+                    "axis %d (--mesh_shape %s): the batch would be "
+                    "replicated on every device instead of sharded. Pick "
+                    "a batch_size that is a multiple of the data axis."
+                    % (self.batch_size, data_axis, self.mesh_shape))
         self.text_kernel_sizes_list = [int(x) for x in str(self.text_kernel_sizes).split("-")]
         self.visual_kernel_sizes_list = [int(x) for x in str(self.visual_kernel_sizes).split("-")]
         tks = self.text_kernel_num * len(self.text_kernel_sizes_list)

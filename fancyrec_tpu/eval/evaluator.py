@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fancyrec_tpu.eval.metrics import (
-    RankingMetrics, cosine_sim_matrix, ranking_metrics_jax)
+    RankingMetrics, cosine_sim_matrix, ranking_metrics_jax,
+    ranking_metrics_sharded)
 from fancyrec_tpu.models.encoders import TextBatch, VisualBatch
 
 # model-input keys of a batch dict; the rest (idxs, n_valid) is host-side
@@ -170,9 +171,13 @@ def test_post_ranking(model, params, brand_num: int, post_embs, brands,
         post_embs = jax.device_put(
             post_embs, NamedSharding(mesh, P("data", None)))
         brands = jax.device_put(brands, NamedSharding(mesh, P("data")))
+        scores = jax.jit(cosine_sim_matrix)(aspects, post_embs)
+        # exact sharded order statistics: the (B, N) matrix stays
+        # distributed through the metric kernel too
+        m = ranking_metrics_sharded(scores, brands, brand_num, mesh)
     else:
         post_embs = jnp.asarray(post_embs)
         brands = jnp.asarray(brands, jnp.int32)
-    scores = cosine_sim_matrix(aspects, post_embs)
-    m = ranking_metrics_jax(scores, brands, brand_num)
+        scores = cosine_sim_matrix(aspects, post_embs)
+        m = ranking_metrics_jax(scores, brands, brand_num)
     return RankingMetrics(*[float(x) for x in m])

@@ -123,7 +123,10 @@ def batch_ap(sorted_labels: np.ndarray, k: int = 0) -> np.ndarray:
     rel_cum = np.cumsum(lab[:, :length], axis=1)
     prec = rel_cum / np.arange(1, length + 1)
     ap = np.sum(prec * lab[:, :length], axis=1)
-    total_rel = lab.sum(axis=1)
+    # denominator counts label > 0 (reference util/metric.py:32 nr_relevant)
+    # while hits above use >= 1 (:38) -- for graded labels in (0, 1) the
+    # reference's AP is deflated by the quirk; mirrored exactly
+    total_rel = (np.asarray(sorted_labels) > 0).sum(axis=1).astype(np.float64)
     return np.where(total_rel > 0, ap / np.maximum(total_rel, 1), 0.0)
 
 

@@ -83,7 +83,9 @@ class BrandAspects(nn.Module):
                      and self.common_dim % 128 == 0)
         if fused:
             from fancyrec_tpu.ops.brand_pallas import aspect_dropout_mean
-            seed = jax.random.bits(self.make_rng("dropout"), (1,),
+            # two 32-bit words: the kernel perturbs the second word by the
+            # tile id, so a single word would fold the key space to 32 bits
+            seed = jax.random.bits(self.make_rng("dropout"), (2,),
                                    jnp.uint32).astype(jnp.int32)
             return aspect_dropout_mean(weights, aspects, seed, 0.5)
         # XLA fallback: nn.Dropout on the product, exactly the legacy

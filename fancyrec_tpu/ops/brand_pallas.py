@@ -52,8 +52,10 @@ def _mask(shape, thr):
 def _tile_seed(seed_ref, i, j, na):
     # seed is a pure function of the (batch, aspect) tile ids: the
     # backward kernel replays the identical stream regardless of its own
-    # grid iteration order
-    pltpu.prng_seed(seed_ref[0] + i * na + j)
+    # grid iteration order. Two seed words keep the effective key space
+    # at 64 bits -- with one word, steps whose base seeds differ by less
+    # than the tile count would reuse shifted mask streams.
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + i * na + j)
 
 
 def _fwd_kernel(seed_ref, thr_ref, scale_ref, w_ref, asp_ref, out_ref):
@@ -128,8 +130,9 @@ def _prep(w, asp, keep):
 def aspect_dropout_mean(w, asp, seed, keep: float = 0.5):
     """mean over aspects of dropout(w[:, :, None] * asp[None]), fused.
 
-    w: (B, A) aspect weights, asp: (A, C) aspect matrix, seed: (1,) int32
-    PRNG seed (derive from the flax dropout rng), keep: keep probability.
+    w: (B, A) aspect weights, asp: (A, C) aspect matrix, seed: (2,) int32
+    PRNG seed words (derive from the flax dropout rng), keep: keep
+    probability.
     Returns (B, C) f32. TPU only -- callers fall back to the XLA path
     off-TPU or under a multi-device mesh.
     """

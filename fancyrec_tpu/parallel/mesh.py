@@ -101,13 +101,32 @@ def shard_state(mesh: Mesh, state):
     return jax.device_put(state, state_shardings(mesh, state))
 
 
+_warned_replicate = set()
+
+
 def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
-    """device_put a batch dict sharding the batch dim over 'data'."""
+    """device_put a batch dict sharding the batch dim over 'data'.
+
+    Arrays whose batch dim does not divide the data axis are replicated
+    (still correct, but every device computes the full batch): that is a
+    throughput bug for real batches, so it warns once per shape.
+    config.finalize rejects the trainer-CLI version of this mistake."""
 
     def put(x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
         if x.ndim > batch_axis and x.shape[batch_axis] % mesh.devices.shape[0] == 0:
             return jax.device_put(x, batch_sharding(mesh, x.ndim, batch_axis))
+        if x.ndim > batch_axis and x.shape[batch_axis] > 1 \
+                and mesh.devices.shape[0] > 1 \
+                and x.shape[batch_axis] not in _warned_replicate:
+            _warned_replicate.add(x.shape[batch_axis])
+            import warnings
+            warnings.warn(
+                "shard_batch: axis %d of shape %s does not divide the "
+                "data mesh axis %d; replicating (1/%d of the sharded "
+                "throughput)" % (batch_axis, x.shape,
+                                 mesh.devices.shape[0],
+                                 mesh.devices.shape[0]))
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(put, batch)

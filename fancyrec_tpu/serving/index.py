@@ -97,6 +97,14 @@ def build_index(checkpoint_path: str, rootpath: str, collection: str,
     cap_ids, brands, post_embs, cfg, model, params = _encode_collection(
         ckpt, rootpath, collection, batch_size, bert_vocab, mesh)
 
+    # a rebuild over an existing index dir must invalidate any int8
+    # sidecar cache: mtime ordering alone cannot tell a same-second
+    # rebuild with an unchanged row count from a valid cache, and a stale
+    # sidecar would silently serve scores quantized from old embeddings
+    for stale in ("feature.int8.bin", "inv_norms.npy"):
+        p = os.path.join(out_dir, stale)
+        if os.path.exists(p):
+            os.remove(p)
     # cap_ids contain '#' (the caption-id grammar), so the index store uses
     # a tab-delimited id.txt -- same BigFile layout otherwise
     with BigFileWriter(out_dir, ndims=cfg.common_embedding_size,

@@ -79,3 +79,16 @@ def test_tokenizer_fuzz_vs_hf(tmp_path):
         n = rng.randint(0, 30)
         text = "".join(rng.choice(alphabet) for _ in range(n))
         assert ours.encode(text) == hf.encode(text), repr(text)
+
+
+def test_mesh_batch_divisibility_rejected():
+    """--batch_size must divide the data mesh axis or finalize raises
+    (silent replication would run at 1/N throughput)."""
+    with pytest.raises(ValueError, match="not divisible by the data mesh"):
+        Config(bow_vocab_size=10, visual_feat_dim=8, batch_size=6,
+               mesh_shape="8,1").finalize()
+    # divisible and single-data-axis shapes pass
+    Config(bow_vocab_size=10, visual_feat_dim=8, batch_size=8,
+           mesh_shape="8,1").finalize()
+    Config(bow_vocab_size=10, visual_feat_dim=8, batch_size=7,
+           mesh_shape="1,2").finalize()

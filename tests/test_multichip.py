@@ -181,3 +181,76 @@ def test_sharded_step_matches_unsharded():
     assert gn_s == pytest.approx(gn_u, rel=1e-4)
     for a, b in zip(jax.tree.leaves(params_s), jax.tree.leaves(params_u)):
         np.testing.assert_allclose(a, b, atol=5e-6, rtol=5e-5)
+
+
+def test_shard_batch_warns_once_on_replication():
+    """Non-divisible batch axes replicate (correct, slow) with ONE warning."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import warnings
+    from fancyrec_tpu.parallel import mesh as pm
+
+    m = pm.build_mesh("8,1")
+    pm._warned_replicate.clear()
+    batch = {"x": np.zeros((6, 4), np.float32)}
+    with pytest.warns(UserWarning, match="does not divide"):
+        pm.shard_batch(m, batch)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pm.shard_batch(m, batch)           # same shape: silent
+    # scalars and divisible axes never warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pm.shard_batch(m, {"y": np.zeros((8, 2), np.float32),
+                           "s": np.float32(1.0)})
+
+
+def test_sharded_metrics_kernel_exact_vs_oracle():
+    """ranking_metrics_sharded == numpy oracle on every metric, including
+    exact score ties, an empty brand, and -1 pad posts; the (B, N) matrix
+    stays post-sharded through the whole kernel (no gather)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.eval.metrics import (
+        ranking_metrics_oracle, ranking_metrics_sharded)
+    from fancyrec_tpu.parallel.mesh import build_mesh
+
+    for seed, mesh_shape in ((0, "8,1"), (1, "4,2"), (2, "8,1")):
+        rng = np.random.RandomState(seed)
+        b, n = 8, 400
+        scores = np.round(rng.randn(b, n), 2).astype(np.float32)  # many ties
+        brands = rng.randint(0, b, n).astype(np.int32)
+        brands[brands == 5] = 2                  # brand 5 has no positives
+        brands[-16:] = -1                        # pad posts
+        oracle = ranking_metrics_oracle(
+            scores[:, brands >= 0], brands[brands >= 0], b)
+        mesh = build_mesh(mesh_shape)
+        got = ranking_metrics_sharded(scores, brands, b, mesh)
+        for name, o, g in zip(oracle._fields, oracle, got):
+            assert float(o) == pytest.approx(float(g), abs=1e-5), (
+                mesh_shape, name, float(o), float(g))
+
+
+def test_post_ranking_sharded_path_matches_unsharded():
+    """test_post_ranking under a >1-data-axis mesh routes through the
+    sharded metric kernel and reproduces the single-device result."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+    from fancyrec_tpu.eval.evaluator import test_post_ranking
+    from fancyrec_tpu.parallel.mesh import build_mesh
+    from fancyrec_tpu.train.state import init_state
+
+    cfg = g._flagship_cfg(tiny=True)
+    model, state = init_state(cfg)
+    rng = np.random.RandomState(0)
+    n = 101                                      # forces pad posts (101 % 8)
+    post_embs = rng.randn(n, cfg.common_embedding_size).astype(np.float32)
+    brands = rng.randint(0, cfg.brand_num, n).astype(np.int32)
+    single = test_post_ranking(model, state.params, cfg.brand_num,
+                               post_embs, brands, mesh=None)
+    mesh = build_mesh("8,1")
+    multi = test_post_ranking(model, state.params, cfg.brand_num,
+                              post_embs, brands, mesh=mesh)
+    for name, a, b_ in zip(single._fields, single, multi):
+        assert float(a) == pytest.approx(float(b_), abs=1e-4), (name, a, b_)

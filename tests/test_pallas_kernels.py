@@ -112,8 +112,10 @@ def test_brand_mean_fold_matches_legacy_product_mean():
     m, ids, params = _brand_setup()
     legacy = jnp.mean(m.apply(params, ids, deterministic=True), axis=1)
     fold = m.apply(params, ids, deterministic=True, mean=True)
+    # on TPU the fold's matmul runs the MXU's multi-pass bf16 f32
+    # emulation while the legacy product+mean is pure VPU f32
     np.testing.assert_allclose(np.asarray(fold), np.asarray(legacy),
-                               atol=1e-6)
+                               atol=1e-3 if ON_TPU else 1e-6)
 
 
 def test_brand_train_mean_xla_fallback_unbiased_and_seeded():
@@ -166,7 +168,7 @@ def test_aspect_dropout_mean_kernel_keep1_exact():
 
     w = jax.random.normal(jax.random.PRNGKey(0), (4, 64), jnp.float32)
     asp = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
-    seed = jnp.asarray([5], jnp.int32)
+    seed = jnp.asarray([5, 7], jnp.int32)
     got = aspect_dropout_mean(w, asp, seed, 1.0)
     want = (w @ asp) / 64
     # the XLA reference matmul runs the MXU's multi-pass bf16 f32
@@ -174,3 +176,77 @@ def test_aspect_dropout_mean_kernel_keep1_exact():
     # covers the REFERENCE's rounding, not the kernel's
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-3)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="compiled-kernel check needs a TPU")
+def test_gru_kernel_backward_on_device_matches_scan_f32():
+    """The custom-VJP backward (reverse-time gate recompute) vs the
+    lax.scan autodiff backward, both COMPILED on hardware -- the
+    interpreter-mode comparison cannot catch Mosaic lowering bugs."""
+    xw, w_hh, b_hh = _gru_inputs(t=16, b=8, h=128, seed=1)
+    cot = jax.random.normal(jax.random.PRNGKey(9),
+                            (16, 2, 8, 128), jnp.float32)
+    g_ref = jax.jit(jax.grad(
+        lambda *a: jnp.sum(_scan_reference(*a) * cot),
+        argnums=(0, 1, 2)))(xw, w_hh, b_hh)
+    g_ker = jax.jit(jax.grad(
+        lambda *a: jnp.sum(gru_scan_pallas(*a) * cot),
+        argnums=(0, 1, 2)))(xw, w_hh, b_hh)
+    for ref, ker in zip(g_ref, g_ker):
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                                   atol=2e-3 * scale)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG kernel is TPU-only")
+def test_aspect_dropout_mean_seed_determinism():
+    from fancyrec_tpu.ops.brand_pallas import aspect_dropout_mean
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 256), jnp.float32)
+    asp = jax.random.normal(jax.random.PRNGKey(1), (256, 128), jnp.float32)
+    f = jax.jit(lambda s: aspect_dropout_mean(w, asp, s, 0.5))
+    a = np.asarray(f(jnp.asarray([11, 13], jnp.int32)))
+    b = np.asarray(f(jnp.asarray([11, 13], jnp.int32)))
+    np.testing.assert_array_equal(a, b)          # same seed: bit-equal
+    c = np.asarray(f(jnp.asarray([12, 13], jnp.int32)))
+    d = np.asarray(f(jnp.asarray([11, 14], jnp.int32)))
+    assert np.abs(a - c).max() > 1e-3            # either word changes the mask
+    assert np.abs(a - d).max() > 1e-3
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG kernel is TPU-only")
+def test_aspect_dropout_mean_vjp_matches_fd_keep05():
+    """Finite-difference pin of the STOCHASTIC backward: the bwd kernel
+    replays the hardware PRNG stream instead of storing the mask, so a
+    seeding/tile-order bug would silently use a different mask than the
+    forward. For the fixed replayed mask the op is linear in each
+    argument, so a central difference along a random direction equals the
+    VJP inner product up to f32 rounding -- any mask divergence (~50% of
+    positions) would blow the comparison up."""
+    from fancyrec_tpu.ops.brand_pallas import aspect_dropout_mean
+
+    k = jax.random.PRNGKey(42)
+    kw, ka, kg, kdw, kda = jax.random.split(k, 5)
+    w = jax.random.normal(kw, (8, 256), jnp.float32)
+    asp = jax.random.normal(ka, (256, 128), jnp.float32)
+    g = jax.random.normal(kg, (8, 128), jnp.float32)
+    seed = jnp.asarray([11, 13], jnp.int32)
+
+    loss = jax.jit(
+        lambda w, asp: jnp.sum(aspect_dropout_mean(w, asp, seed, 0.5) * g))
+    gw, gasp = jax.jit(jax.grad(
+        lambda w, asp: jnp.sum(aspect_dropout_mean(w, asp, seed, 0.5) * g),
+        argnums=(0, 1)))(w, asp)
+
+    dw = jax.random.normal(kdw, w.shape, jnp.float32)
+    da = jax.random.normal(kda, asp.shape, jnp.float32)
+    eps = 0.5
+    fd_w = float(loss(w + eps * dw, asp) - loss(w - eps * dw, asp)) / (2 * eps)
+    fd_a = float(loss(w, asp + eps * da) - loss(w, asp - eps * da)) / (2 * eps)
+    got_w, got_a = float(jnp.vdot(gw, dw)), float(jnp.vdot(gasp, da))
+    # scale-aware tolerance: the inner products are O(1e2-1e3) sums of
+    # thousands of f32 products
+    tol_w = 1e-4 * float(jnp.linalg.norm(gw) * jnp.linalg.norm(dw)) + 1e-3
+    tol_a = 1e-4 * float(jnp.linalg.norm(gasp) * jnp.linalg.norm(da)) + 1e-3
+    assert abs(got_w - fd_w) < tol_w, (got_w, fd_w, tol_w)
+    assert abs(got_a - fd_a) < tol_a, (got_a, fd_a, tol_a)

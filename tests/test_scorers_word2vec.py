@@ -52,6 +52,17 @@ def test_batch_versions_match_scalar():
         assert p5[q] == pytest.approx(PrecisionScorer(5).score(list(labels[q])))
 
 
+def test_batch_ap_graded_labels_match_scalar():
+    """Reference quirk (util/metric.py:32 vs :38): graded labels in (0, 1)
+    count in AP's denominator (label > 0) but not as hits (label >= 1).
+    batch_ap must deflate exactly like the scalar scorer."""
+    rng = np.random.RandomState(1)
+    labels = rng.choice([0.0, 0.5, 1.0], size=(10, 20), p=[0.6, 0.2, 0.2])
+    ap = batch_ap(labels)
+    for q in range(10):
+        assert ap[q] == pytest.approx(APScorer(0).score(list(labels[q])))
+
+
 # ---------------------------------------------------------------------------
 
 @pytest.fixture()

@@ -39,6 +39,18 @@ def test_build_and_query_index(tmp_path, capsys):
     hits = sum(name2brand[names[b][0]] == b for b in range(3))
     assert hits >= 2
 
+    # a rebuild into the same dir must remove any int8 sidecar cache:
+    # mtime ordering alone cannot detect a same-mtime rebuild with an
+    # unchanged row count, so a fresh build starts with no cache
+    qpath = os.path.join(idx_dir, "feature.int8.bin")
+    ipath = os.path.join(idx_dir, "inv_norms.npy")
+    with open(qpath, "wb") as f:
+        f.write(b"\x01" * (24 * index.meta["dim"]))
+    np.save(ipath, np.ones(24, np.float32))
+    build_index(ckpt, root, "insCartest", idx_dir, batch_size=4)
+    assert not os.path.exists(qpath)
+    assert not os.path.exists(ipath)
+
     # CLI query path
     capsys.readouterr()  # flush earlier training output
     index_main(["query", idx_dir, "--brands", "0,2", "--k", "3"])

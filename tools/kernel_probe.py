@@ -83,7 +83,7 @@ def probe_brand(b=64, a=2000, c=1024):
     key = jax.random.PRNGKey(0)
     w = jax.random.normal(key, (b, a), jnp.float32)
     asp = jax.random.normal(jax.random.PRNGKey(1), (a, c), jnp.float32)
-    seed = jnp.asarray([1234], jnp.int32)
+    seed = jnp.asarray([1234, 77], jnp.int32)
     cot = jax.random.normal(jax.random.PRNGKey(2), (b, c), jnp.float32)
 
     def xla_path(w, asp, key):
