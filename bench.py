@@ -82,7 +82,8 @@ def bench_train_step(iters: int = 10, batch_size: int = 0,
     return posts / dt
 
 
-def bench_train_resident(n_super: int = 8, iters: int = 4) -> dict:
+def bench_train_resident(n_super: int = 8, iters: int = 4,
+                         batch_size: int = 0, dtype: str = "") -> dict:
     """Train-step throughput with data already resident in HBM: n_super
     recipe-scale super-batches are staged on device once, then a single
     jitted lax.scan consumes all of them per call (one dispatch -- no
@@ -98,6 +99,11 @@ def bench_train_resident(n_super: int = 8, iters: int = 4) -> dict:
 
     cfg = g._flagship_cfg()
     cfg.queue_size = 512
+    if batch_size:
+        cfg.batch_size = batch_size
+        cfg.accumulation_step = max(1, 64 // batch_size)
+    if dtype:
+        cfg.dtype = dtype
     cfg = cfg.finalize()
     model, state = init_state(cfg)
     tx = make_optimizer(cfg)
@@ -209,7 +215,7 @@ def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
     return {"query_latency_ms": dt * 1e3, "n_posts": n_posts, "k": k}
 
 
-def bench_eval(n_posts: int = 4096, iters: int = 3) -> dict:
+def bench_eval(n_posts: int = 4096, iters: int = 8) -> dict:
     """Full-eval wall time at recipe dims: encode every post through the
     jitted eval forward (batch 128), then brands x posts ranking metrics.
     Returns posts/sec encode throughput and the metric-kernel time."""
@@ -242,10 +248,13 @@ def bench_eval(n_posts: int = 4096, iters: int = 3) -> dict:
     metric_fn = jax.jit(lambda be, pe, br: ranking_metrics_jax(
         cosine_sim_matrix(be, pe), br, cfg.brand_num))
     _ = [float(x) for x in metric_fn(brand_embs, post_embs, brands)]  # compile
+    # amortize over iters: a single shot over the axon tunnel measures the
+    # ~250 ms RTT, not the kernel
     t0 = time.perf_counter()
-    m = metric_fn(brand_embs, post_embs, brands)
+    for _ in range(iters):
+        m = metric_fn(brand_embs, post_embs, brands)
     _ = [float(x) for x in m]
-    metric_dt = time.perf_counter() - t0
+    metric_dt = (time.perf_counter() - t0) / iters
 
     return {"encode_posts_per_sec": n_batches * cfg.batch_size / encode_dt,
             "metric_kernel_ms": metric_dt * 1e3,
@@ -273,6 +282,9 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
         lambda: round(bench_train_step(batch_size=64, dtype="bfloat16"), 1))
     run("train_resident", lambda: {
         k: round(v, 4) for k, v in bench_train_resident().items()})
+    run("train_resident_b64_bf16", lambda: {
+        k: round(v, 4) for k, v in
+        bench_train_resident(batch_size=64, dtype="bfloat16").items()})
     run("retrieval_1m_mposts_per_sec",
         lambda: round(bench_retrieval() / 1e6, 2))
     run("retrieval_1m_int8_mposts_per_sec",
@@ -332,9 +344,16 @@ def main():
             "vs_baseline": None,
         }))
     elif mode == "train_resident":
-        r = bench_train_resident()
+        batch, dtype = 0, ""
+        for tok in args:
+            if tok in ("bf16", "bfloat16"):
+                dtype = "bfloat16"
+            else:
+                batch = int(tok)
+        r = bench_train_resident(batch_size=batch, dtype=dtype)
         print(json.dumps({
-            "metric": "train_step_throughput_device_resident",
+            "metric": "train_step_throughput_device_resident" + (
+                "_b%d" % batch if batch else "") + ("_bf16" if dtype else ""),
             "value": round(r["posts_per_sec"], 1), "unit": "posts/sec/chip",
             "vs_baseline": None,
             "tflops_per_sec": round(r["tflops_per_sec"], 2),

@@ -58,14 +58,24 @@ class BatchLoader:
 
 
 def prefetch_to_device(iterator, size: int = 2,
-                       device_put: Optional[Callable] = None):
+                       device_put: Optional[Callable] = None,
+                       stage_on_consumer: bool = False):
     """Run `iterator` in a background thread, staging batches on device.
 
     Keeps up to `size` batches in flight; jax.device_put is asynchronous, so
     the host thread races ahead building + transferring the next batch while
     the device computes on the current one.
+
+    stage_on_consumer=True applies `device_put` on the CONSUMER thread
+    instead: host batch assembly still overlaps compute, but every device
+    interaction stays on the main thread. Required on multi-process
+    meshes -- device_put of global arrays from a background thread,
+    concurrent with main-thread collectives, deadlocks the XLA:CPU gloo
+    backend (bisected by tests/test_multiprocess.py).
     """
     put = device_put or jax.device_put
+    thread_put = (lambda b: b) if stage_on_consumer else put
+    consumer_put = put if stage_on_consumer else (lambda b: b)
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
     stop = threading.Event()
@@ -88,7 +98,7 @@ def prefetch_to_device(iterator, size: int = 2,
         # silently truncate the epoch and keep training on partial data
         try:
             for batch in iterator:
-                if not _put(put(batch)):
+                if not _put(thread_put(batch)):
                     return
             _put(_END)
         except BaseException as exc:  # noqa: BLE001 - re-raised below
@@ -103,7 +113,7 @@ def prefetch_to_device(iterator, size: int = 2,
                 break
             if isinstance(item, _ProducerError):
                 raise item.exc
-            yield item
+            yield consumer_put(item)
     finally:
         stop.set()
         while not q.empty():

@@ -79,8 +79,15 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
         return np.asarray(out)
 
     from fancyrec_tpu.data.loader import prefetch_to_device
-    for batch, dev in prefetch_to_device(iter(loader), size=2,
-                                         device_put=stage):
+    # multi-process: stage on the consumer thread. Bisected deadlock (the
+    # 2-process test, tests/test_multiprocess.py): device_put of global
+    # arrays on the prefetch thread, concurrent with the main thread's
+    # per-batch process_allgather collective, wedges the XLA:CPU gloo
+    # backend after the first batch; the same staging on the main thread
+    # runs clean. Host batch assembly still overlaps compute.
+    stream = prefetch_to_device(iter(loader), size=2, device_put=stage,
+                                stage_on_consumer=jax.process_count() > 1)
+    for batch, dev in stream:
         embs = fetch(encode_fn(params, batch_stats, dev))
         k = batch["n_valid"]
         # batches are sorted by caption length; idxs carries the scatter map

@@ -157,9 +157,14 @@ def train_epoch(train_step, state, loader, accumulation_step: int,
     # sharded over 'data' so the step runs data-parallel under GSPMD
     put = (lambda b: shard_batch(mesh, b, batch_axis=1)) if mesh is not None \
         else None
+    # multi-process: device interaction stays on the main thread (the
+    # background-thread device_put deadlocks gloo collectives -- see
+    # data/loader.prefetch_to_device and tests/test_multiprocess.py);
+    # super-batch assembly still overlaps the step on the thread
     stream = prefetch_to_device(
         _superbatches(loader, accumulation_step, transfer_dtype),
-        size=2, device_put=put)
+        size=2, device_put=put,
+        stage_on_consumer=jax.process_count() > 1)
     for superbatch in stream:
         state, metrics = train_step(state, superbatch)
         # keep the loss on device: a float() here would block the next

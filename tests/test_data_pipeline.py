@@ -203,3 +203,36 @@ def test_wordpiece_edge_cases_match_hf(wp_vocab):
     ]
     for text in cases:
         assert ours.encode(text) == hf.encode(text), text
+
+
+def test_prefetch_stage_on_consumer(fixture_root):
+    """stage_on_consumer moves device_put to the consumer thread (the
+    multi-process-safe mode): the device_put callable must run on the
+    MAIN thread, yield identical batches, and still propagate errors."""
+    import threading
+
+    ds = _build_dataset(fixture_root)
+    main = threading.get_ident()
+    put_threads = []
+
+    def tracking_put(batch):
+        put_threads.append(threading.get_ident())
+        return batch
+
+    base = [b for b in BatchLoader(ds, batch_size=4, final_batch="drop")]
+    out = list(prefetch_to_device(
+        iter(BatchLoader(ds, batch_size=4, final_batch="drop")),
+        size=2, device_put=tracking_put, stage_on_consumer=True))
+    assert len(out) == len(base)
+    assert put_threads and all(t == main for t in put_threads)
+    for a, b in zip(base, out):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    # default mode stages on the producer thread (overlap) -- guard the
+    # distinction so a refactor doesn't silently serialize everything
+    put_threads.clear()
+    list(prefetch_to_device(
+        iter(BatchLoader(ds, batch_size=4, final_batch="drop")),
+        size=2, device_put=tracking_put))
+    assert put_threads and all(t != main for t in put_threads)
