@@ -45,7 +45,7 @@ def bench_resnet152(batch_size: int = 128, iters: int = 40,
 
 
 def bench_train_step(iters: int = 10, batch_size: int = 0,
-                     dtype: str = "") -> float:
+                     dtype: str = "", rng_impl: str = "") -> float:
     """Posts/sec through the full jitted accumulating train step at the
     bin/instance.sh recipe scale (transformers+ph+cl, common dim 1024,
     batch 8 x accum 8). batch_size overrides the recipe's microbatch to
@@ -62,6 +62,8 @@ def bench_train_step(iters: int = 10, batch_size: int = 0,
         cfg.batch_size = batch_size
     if dtype:
         cfg.dtype = dtype
+    if rng_impl:
+        cfg.rng_impl = rng_impl
     cfg = cfg.finalize()
     model, state = init_state(cfg)
     tx = make_optimizer(cfg)
@@ -83,7 +85,8 @@ def bench_train_step(iters: int = 10, batch_size: int = 0,
 
 
 def bench_train_resident(n_super: int = 8, iters: int = 4,
-                         batch_size: int = 0, dtype: str = "") -> dict:
+                         batch_size: int = 0, dtype: str = "",
+                         rng_impl: str = "") -> dict:
     """Train-step throughput with data already resident in HBM: n_super
     recipe-scale super-batches are staged on device once, then a single
     jitted lax.scan consumes all of them per call (one dispatch -- no
@@ -104,6 +107,8 @@ def bench_train_resident(n_super: int = 8, iters: int = 4,
         cfg.accumulation_step = max(1, 64 // batch_size)
     if dtype:
         cfg.dtype = dtype
+    if rng_impl:
+        cfg.rng_impl = rng_impl
     cfg = cfg.finalize()
     model, state = init_state(cfg)
     tx = make_optimizer(cfg)
@@ -321,17 +326,21 @@ def main():
             "vs_baseline": round(fps / BASELINE_FPS, 4),
         }))
     elif mode == "train":
-        batch, dtype = 0, ""
+        batch, dtype, rng_impl = 0, "", ""
         for tok in args:
             if tok in ("bf16", "bfloat16"):
                 dtype = "bfloat16"
+            elif tok == "rbg":
+                rng_impl = "rbg"
             else:
                 batch = int(tok)   # raise loudly on typos
-        pps = bench_train_step(batch_size=batch, dtype=dtype)
+        pps = bench_train_step(batch_size=batch, dtype=dtype,
+                               rng_impl=rng_impl)
         print(json.dumps({
             "metric": "train_step_throughput_recipe_config" + (
                 "_b%d" % batch if batch else "") + (
-                "_bf16" if dtype else ""),
+                "_bf16" if dtype else "") + (
+                "_rbg" if rng_impl else ""),
             "value": round(pps, 1), "unit": "posts/sec/chip",
             "vs_baseline": None,
         }))
@@ -344,16 +353,20 @@ def main():
             "vs_baseline": None,
         }))
     elif mode == "train_resident":
-        batch, dtype = 0, ""
+        batch, dtype, rng_impl = 0, "", ""
         for tok in args:
             if tok in ("bf16", "bfloat16"):
                 dtype = "bfloat16"
+            elif tok == "rbg":
+                rng_impl = "rbg"
             else:
                 batch = int(tok)
-        r = bench_train_resident(batch_size=batch, dtype=dtype)
+        r = bench_train_resident(batch_size=batch, dtype=dtype,
+                                 rng_impl=rng_impl)
         print(json.dumps({
             "metric": "train_step_throughput_device_resident" + (
-                "_b%d" % batch if batch else "") + ("_bf16" if dtype else ""),
+                "_b%d" % batch if batch else "") + ("_bf16" if dtype else "")
+            + ("_rbg" if rng_impl else ""),
             "value": round(r["posts_per_sec"], 1), "unit": "posts/sec/chip",
             "vs_baseline": None,
             "tflops_per_sec": round(r["tflops_per_sec"], 2),

@@ -110,6 +110,11 @@ class Config:
     # TPU-native additions (absent from the reference; defaults keep parity)
     seed: int = 2
     dtype: str = "float32"          # compute dtype for the towers: float32|bfloat16
+    rng_impl: str = "threefry"      # dropout PRNG: threefry (parity default) |
+                                    # rbg (TPU hardware-backed generator --
+                                    # measured ~5 ms/step of threefry mask
+                                    # generation at recipe b64; different but
+                                    # equally distributed streams)
     transfer_dtype: str = ""        # host->device staging dtype for float batch
                                     # arrays ("bfloat16" halves wire traffic on
                                     # transfer-bound hosts; "" = ship float32)
@@ -145,6 +150,10 @@ class Config:
             raise ValueError(
                 "--transfer_dtype must be '' or 'bfloat16', got %r"
                 % self.transfer_dtype)
+        if self.rng_impl not in ("threefry", "rbg"):
+            raise ValueError(
+                "--rng_impl must be 'threefry' or 'rbg', got %r"
+                % self.rng_impl)
         if self.mesh_shape:
             # reject silent 1/N throughput: a batch that does not divide
             # the data mesh axis cannot shard, so shard_batch would
@@ -286,6 +295,8 @@ def build_train_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", type=str, default=d.dtype)
+    p.add_argument("--rng_impl", type=str, default=d.rng_impl,
+                   choices=["threefry", "rbg"])
     p.add_argument("--transfer_dtype", type=str, default=d.transfer_dtype)
     p.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
     p.add_argument("--max_frames", type=int, default=d.max_frames)

@@ -36,6 +36,15 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     remat: bool = False   # rematerialize each layer (memory <-> FLOPs)
+    # computation dtype for the matmul-heavy path ("float32"/"bfloat16").
+    # Params stay f32 (mixed precision); "float32" is bit-identical to
+    # the pre-dtype program. Softmax and LayerNorm statistics stay f32.
+    compute_dtype: str = "float32"
+
+    @property
+    def _dt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" \
+            else jnp.float32
 
 
 def _dense(features, cfg, name):
@@ -43,6 +52,7 @@ def _dense(features, cfg, name):
         features,
         kernel_init=nn.initializers.normal(cfg.initializer_range),
         bias_init=nn.initializers.zeros,
+        dtype=cfg._dt,
         name=name,
     )
 
@@ -63,10 +73,10 @@ class BertSelfAttention(nn.Module):
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(dh).astype(scores.dtype)
         scores = scores + attn_bias  # (B,1,1,T) additive mask
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)      # f32 (MXU accum dtype)
         probs = nn.Dropout(cfg.attention_probs_dropout_prob,
                            deterministic=deterministic)(probs)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cfg._dt), v,
                          preferred_element_type=jnp.float32)
         return ctx.reshape(b, t, d)
 
@@ -116,6 +126,7 @@ class BertEncoder(nn.Module):
                               name="embeddings_ln")(hidden)
         hidden = nn.Dropout(cfg.hidden_dropout_prob,
                             deterministic=deterministic)(hidden)
+        hidden = hidden.astype(cfg._dt)   # residual stream compute dtype
 
         mask = attention_mask.astype(jnp.float32)
         attn_bias = (1.0 - mask)[:, None, None, :] * jnp.finfo(jnp.float32).min

@@ -66,7 +66,8 @@ class FancyRec(nn.Module):
                         intermediate_size=cfg.bert_intermediate_size,
                         max_position_embeddings=cfg.bert_max_position,
                         type_vocab_size=cfg.bert_type_vocab,
-                        remat=cfg.bert_remat),
+                        remat=cfg.bert_remat,
+                        compute_dtype=cfg.dtype or "float32"),
                     kernel_num=cfg.text_kernel_num,
                     kernel_sizes=tuple(cfg.text_kernel_sizes_list),
                     mapping_out=cfg.text_mapping_size,

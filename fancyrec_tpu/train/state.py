@@ -85,8 +85,17 @@ def dummy_batch(cfg: Config, batch_size: int = 2):
 
 def init_state(cfg: Config, seed: Optional[int] = None) -> "tuple[FancyRec, TrainState]":
     model = FancyRec(cfg)
+    # rbg: the TPU hardware-backed generator -- threefry mask generation
+    # alone costs ~5 ms/step at recipe b64 (measured via
+    # tools/step_decompose.py det-vs-train delta). Param init always uses
+    # threefry so initial weights are identical across rng_impl choices;
+    # only the training dropout stream switches.
+    impl = getattr(cfg, "rng_impl", "threefry") or "threefry"
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
     pkey, dkey, rng = jax.random.split(key, 3)
+    if impl != "threefry":
+        rng = jax.random.key(
+            cfg.seed if seed is None else seed, impl=impl)
     brand_ids, v, t = dummy_batch(cfg)
     variables = model.init({"params": pkey, "dropout": dkey},
                            brand_ids, v, t, deterministic=True)

@@ -102,6 +102,20 @@ def test_train_bfloat16_towers(root):
     assert best > 400, best
 
 
+def test_train_rbg_rng_bf16_bert(root):
+    """--rng_impl rbg (hardware-backed dropout PRNG; a different but
+    equally distributed stream than threefry) together with the bf16
+    BERT compute path must still learn the fixture signal."""
+    best = trainer.main(COMMON_ARGS + [
+        "--rootpath", root, "--postfix", "run_rbg",
+        "--text_net", "transformers", "--fusion_style", "ph",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "4",
+        "--text_transformers_hidden_size", "48",
+        "--rng_impl", "rbg", "--dtype", "bfloat16",
+    ])
+    assert best > 350, best
+
+
 def test_validate_split_val_fix(root):
     """--validate_split val fixes the reference's model-selection-on-test
     quirk; the run must still train and checkpoint normally."""
