@@ -148,6 +148,90 @@ def bench_train_resident(n_super: int = 8, iters: int = 4,
             "mfu_vs_bf16_peak": flops_per_sec / 197e12}
 
 
+def bench_train_bucketed(n_posts: int = 1024, iters: int = 3,
+                         dtype: str = "") -> dict:
+    """Train throughput with length-grouped batches + bucketed padding vs
+    the static max pad, on an insCar-like length mix (~90% single-frame
+    image posts, ~10% videos up to max_frames; reference constant
+    VIDEO_MAX_LEN=64, util/constant.py -- image posts still pad to 64).
+
+    Both arms consume the SAME posts pre-staged in HBM (no tunnel
+    transfer in the timed region): the bucketed arm sorts posts into
+    length-homogeneous batches (--length_grouped window mode) and slices
+    each super-batch to its covering bucket (--token_buckets /
+    --frame_buckets), stepping through one compiled program per bucket
+    shape; the static arm steps the same posts at the full
+    (max_frames, max_tokens) pad. Host->device savings (frames shrink
+    up to 64x) come on top of the reported device-side speedup."""
+    import __graft_entry__ as g
+    from fancyrec_tpu.data.loader import bucket_batch
+    from fancyrec_tpu.train.state import init_state, make_optimizer
+    from fancyrec_tpu.train.step import make_train_step, stack_microbatches
+
+    cfg = g._flagship_cfg()
+    cfg.queue_size = 512
+    if dtype:
+        cfg.dtype = dtype
+    cfg = cfg.finalize()
+    b, a = cfg.batch_size, cfg.accumulation_step
+    n_posts -= n_posts % (b * a)
+
+    rng = np.random.RandomState(0)
+    flen = np.where(rng.rand(n_posts) < 0.9, 1,
+                    rng.randint(2, cfg.max_frames + 1, n_posts))
+    tlen = np.clip(rng.lognormal(2.7, 0.6, n_posts).astype(np.int64),
+                   3, cfg.max_tokens)
+
+    def make_post(i):
+        mb = {k: np.array(v) for k, v in g._example_batch(cfg, 1, rng).items()}
+        mb["vmask"][0, :] = np.arange(cfg.max_frames) < flen[i]
+        mb["tmask"][0, :] = np.arange(cfg.max_tokens) < tlen[i]
+        mb["tokens"] *= mb["tmask"]
+        mb["frames"] *= mb["vmask"][:, :, None]
+        return mb
+
+    posts = [make_post(i) for i in range(n_posts)]
+
+    def build(order, buckets):
+        supers = []
+        for s in range(0, n_posts, b * a):
+            micro = [
+                {k: np.concatenate([posts[j][k] for j in
+                                    order[t: t + b]]) for k in posts[0]}
+                for t in range(s, s + b * a, b)]
+            sb = stack_microbatches(micro)
+            if buckets:
+                sb = bucket_batch(sb, token_buckets=[16, 32, 64, 128],
+                                  frame_buckets=[1, 4, 16, 64])
+            supers.append(sb)
+        return supers
+
+    grouped = np.argsort(flen * (cfg.max_tokens + 1) + tlen, kind="stable")
+    arms = {"static_pad": build(np.arange(n_posts), False),
+            "bucketed": build(grouped, True)}
+
+    out = {}
+    for name, supers in arms.items():
+        model, state = init_state(cfg)
+        step = make_train_step(model, cfg, make_optimizer(cfg))
+        dev = [jax.device_put(sb) for sb in supers]
+        for sb in {tuple(x["frames"].shape) + tuple(x["tokens"].shape): x
+                   for x in dev}.values():
+            state, metrics = step(state, sb)     # compile each shape
+        _ = float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for sb in dev:
+                state, metrics = step(state, sb)
+        _ = float(metrics["loss"])
+        out[name + "_posts_per_sec"] = n_posts * iters / (
+            time.perf_counter() - t0)
+    out["speedup"] = (out["bucketed_posts_per_sec"]
+                      / out["static_pad_posts_per_sec"])
+    out["n_posts"] = n_posts
+    return out
+
+
 def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
                     k: int = 10, quantize: str = "") -> float:
     """Posts/sec through the streaming top-k retrieval (51-brand query).
@@ -290,6 +374,8 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
     run("train_resident_b64_bf16", lambda: {
         k: round(v, 4) for k, v in
         bench_train_resident(batch_size=64, dtype="bfloat16").items()})
+    run("train_bucketed", lambda: {
+        k: round(v, 4) for k, v in bench_train_bucketed().items()})
     run("retrieval_1m_mposts_per_sec",
         lambda: round(bench_retrieval() / 1e6, 2))
     run("retrieval_1m_int8_mposts_per_sec",
@@ -343,6 +429,18 @@ def main():
                 "_rbg" if rng_impl else ""),
             "value": round(pps, 1), "unit": "posts/sec/chip",
             "vs_baseline": None,
+        }))
+    elif mode == "train_bucketed":
+        dtype = "bfloat16" if args and args[0] in ("bf16", "bfloat16") else ""
+        r = bench_train_bucketed(dtype=dtype)
+        print(json.dumps({
+            "metric": "train_step_throughput_bucketed_inscar_mix" + (
+                "_bf16" if dtype else ""),
+            "value": round(r["bucketed_posts_per_sec"], 1),
+            "unit": "posts/sec/chip", "vs_baseline": None,
+            "static_pad_posts_per_sec": round(
+                r["static_pad_posts_per_sec"], 1),
+            "speedup": round(r["speedup"], 3),
         }))
     elif mode == "retrieval":
         quant = args[0] if args else ""
@@ -403,7 +501,8 @@ def main():
         }))
     else:
         raise SystemExit("usage: bench.py [resnet [batch]|train [batch]"
-                         "|train_resident|retrieval [int8]|eval"
+                         "|train_resident|train_bucketed [bf16]"
+                         "|retrieval [int8]|eval"
                          "|serving [int8]|all [out.json]]")
 
 

@@ -129,10 +129,25 @@ class Config:
     auto_resume: bool = False       # resume from the latest epoch checkpoint after a crash
     seq_shard: bool = False         # sequence-parallel time-axis sharding over 'model'
     profile_dir: str = ""           # capture an XLA profiler trace of epoch 1 into this dir
+    token_buckets: str = ""         # e.g. "32,64,96" -- pad the token axis to the
+                                    # smallest listed bucket covering the batch max
+                                    # instead of the static max (one compiled program
+                                    # per bucket; numerically exact -- every reduction
+                                    # is bounded by the dynamic batch-max length)
+    frame_buckets: str = ""         # same for the frame axis (insCar is ~90% 1-frame
+                                    # image posts padded to 64 frames without this)
+    length_grouped: bool = False    # compose TRAIN batches from length-sorted windows
+                                    # so buckets actually bite (changes batch
+                                    # composition -- opt-in; eval batches are length
+                                    # -sorted automatically whenever buckets are on,
+                                    # which is composition-free: embeddings are
+                                    # scattered back by dataset index)
 
     # -- derived at setup (reference trainer.py:154-234) --
     text_kernel_sizes_list: List[int] = field(default_factory=list)
     visual_kernel_sizes_list: List[int] = field(default_factory=list)
+    token_buckets_list: List[int] = field(default_factory=list)
+    frame_buckets_list: List[int] = field(default_factory=list)
     text_mapping_in: int = 0
     visual_mapping_in: int = 0
     visual_feat_dim: int = 2048
@@ -154,6 +169,27 @@ class Config:
             raise ValueError(
                 "--rng_impl must be 'threefry' or 'rbg', got %r"
                 % self.rng_impl)
+
+        def _buckets(spec: str, cap: int, flag: str) -> List[int]:
+            if not spec:
+                return []
+            try:
+                bs = sorted({int(x) for x in str(spec).split(",")})
+            except ValueError:
+                raise ValueError("%s must be a comma list of ints, got %r"
+                                 % (flag, spec))
+            if bs[0] < 1 or bs[-1] > cap:
+                raise ValueError("%s buckets must lie in [1, %d], got %r"
+                                 % (flag, cap, spec))
+            if bs[-1] != cap:
+                bs.append(cap)   # always cover the static max
+            return bs
+        tok_cap = (self.max_tokens if self.text_net == "transformers"
+                   else self.max_words)
+        self.token_buckets_list = _buckets(
+            self.token_buckets, tok_cap, "--token_buckets")
+        self.frame_buckets_list = _buckets(
+            self.frame_buckets, self.max_frames, "--frame_buckets")
         if self.mesh_shape:
             # reject silent 1/N throughput: a batch that does not divide
             # the data mesh axis cannot shard, so shard_batch would
@@ -297,6 +333,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default=d.dtype)
     p.add_argument("--rng_impl", type=str, default=d.rng_impl,
                    choices=["threefry", "rbg"])
+    p.add_argument("--token_buckets", type=str, default=d.token_buckets)
+    p.add_argument("--frame_buckets", type=str, default=d.frame_buckets)
+    p.add_argument("--length_grouped", type=int, default=int(d.length_grouped))
     p.add_argument("--transfer_dtype", type=str, default=d.transfer_dtype)
     p.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
     p.add_argument("--max_frames", type=int, default=d.max_frames)

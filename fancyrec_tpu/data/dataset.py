@@ -181,6 +181,18 @@ class PostDataset:
     def _caption_sort_key(self, idx: int) -> int:
         return int(self._sort_keys[idx])
 
+    def length_keys(self) -> np.ndarray:
+        """Per-item key for length-grouped batching: items with similar
+        (frame count, token count) land in the same batch so bucketed
+        padding (data/loader.bucket_batch) actually shrinks the shapes --
+        insCar is ~90% single-frame image posts that otherwise pad to
+        max_frames alongside any video in the batch."""
+        frame_lens = np.array([min(len(r), self.max_frames)
+                               for r in self.item_rows], np.int64)
+        token_lens = self._tmask_cache.sum(axis=1).astype(np.int64)
+        cap = self._tmask_cache.shape[1] + 1
+        return frame_lens * cap + token_lens
+
     def gather_batch(self, indices: Sequence[int], pad_to: Optional[int] = None
                      ) -> Dict[str, np.ndarray]:
         """Assemble one fixed-shape batch. Optionally right-pad the batch to

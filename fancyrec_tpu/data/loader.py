@@ -18,6 +18,46 @@ import numpy as np
 from fancyrec_tpu.data.dataset import PostDataset
 
 
+def _pick_bucket(need: int, buckets, cap: int) -> int:
+    for b in buckets:
+        if b >= need:
+            return min(b, cap)
+    return cap
+
+
+def bucket_batch(batch: Dict[str, np.ndarray], token_buckets=None,
+                 frame_buckets=None) -> Dict[str, np.ndarray]:
+    """Slice the pad axes down to the smallest configured bucket covering
+    the batch's max valid length (quantized dynamic padding).
+
+    Works on single batches (B, T) and stacked super-batches (A, B, T):
+    token arrays are sliced on the last axis, frames on axis -2. One jit
+    program compiles per distinct bucket shape. Exact in real arithmetic
+    vs the full static pad: every model reduction is bounded by the
+    dynamic batch-max length / mask (models/layers.py module docstring),
+    so removing all-pad tail columns cannot change any output. In f32 the
+    residual is pure XLA reduction-reassociation noise (different shapes
+    tile reductions differently; measured max 2e-7) -- pinned by
+    tests/test_buckets.py.
+    """
+    out = dict(batch)
+    if token_buckets:
+        cap = batch["tmask"].shape[-1]
+        need = int(batch["tmask"].sum(-1).max())
+        tl = _pick_bucket(max(need, 1), token_buckets, cap)
+        if tl < cap:
+            for k in ("tokens", "type_ids", "tmask"):
+                out[k] = np.ascontiguousarray(batch[k][..., :tl])
+    if frame_buckets:
+        cap = batch["vmask"].shape[-1]
+        need = int(batch["vmask"].sum(-1).max())
+        fl = _pick_bucket(max(need, 1), frame_buckets, cap)
+        if fl < cap:
+            out["frames"] = np.ascontiguousarray(batch["frames"][..., :fl, :])
+            out["vmask"] = np.ascontiguousarray(batch["vmask"][..., :fl])
+    return out
+
+
 class BatchLoader:
     """Deterministic epoch iterator over a PostDataset.
 
@@ -28,13 +68,19 @@ class BatchLoader:
 
     def __init__(self, dataset: PostDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 2,
-                 final_batch: str = "drop"):
+                 final_batch: str = "drop", grouped: str = "off"):
         assert final_batch in ("drop", "pad")
+        # 'sort': global length-sort (eval -- composition-free, embeddings
+        # scatter back by dataset index); 'window': shuffle, then sort
+        # within windows of 64 batches and shuffle the batch order
+        # (train -- keeps batches random-ish while length-homogeneous)
+        assert grouped in ("off", "sort", "window")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.final_batch = final_batch
+        self.grouped = grouped
         self.epoch = 0
 
     def __len__(self):
@@ -46,13 +92,28 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
+        rng = np.random.RandomState(self.seed + self.epoch)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
         bs = self.batch_size
+        if self.grouped == "sort":
+            keys = self.dataset.length_keys()
+            order = order[np.argsort(keys[order], kind="stable")]
+        elif self.grouped == "window":
+            keys = self.dataset.length_keys()
+            win = bs * 64
+            order = np.concatenate([
+                chunk[np.argsort(keys[chunk], kind="stable")]
+                for chunk in (order[s: s + win]
+                              for s in range(0, n, win))])
         stop = (n // bs) * bs if self.final_batch == "drop" else n
-        for start in range(0, stop, bs):
+        starts = list(range(0, stop, bs))
+        if self.grouped == "window":
+            # batches stay length-homogeneous; their ORDER re-randomizes
+            # so the model never sees a shortest->longest curriculum
+            rng.shuffle(starts)
+        for start in starts:
             idx = order[start: start + bs]
             yield self.dataset.gather_batch(idx, pad_to=bs)
 

@@ -42,13 +42,19 @@ def make_encode_fn(model):
 
 
 def encode_data(model, params, batch_stats, loader, common_dim: int,
-                encode_fn=None, mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+                encode_fn=None, mesh=None, token_buckets=None,
+                frame_buckets=None) -> Tuple[np.ndarray, np.ndarray]:
     """Encode every post in `loader` -> (brands, post_embs) scattered by
     dataset index (reference evaluator.py:38-81).
 
     With a mesh, each batch is device_put sharded over the 'data' axis so
     the encode forward runs data-parallel across the mesh (GSPMD inserts
-    the collectives)."""
+    the collectives).
+
+    token_buckets/frame_buckets: quantized dynamic padding (one jitted
+    program per bucket shape; exact -- see data/loader.bucket_batch).
+    Pair with a length-sorted loader (BatchLoader grouped='sort') so the
+    buckets bite; the idxs scatter makes the reorder composition-free."""
     encode_fn = encode_fn or make_encode_fn(model)
     n = len(loader.dataset)
     post_embs = np.zeros((n, common_dim), np.float32)
@@ -60,6 +66,9 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
         """Host->device staging (runs on the prefetch thread so the mmap
         gather + transfer of batch i+1 overlap the device encode of i)."""
         dev = {k: batch[k] for k in _MODEL_KEYS if k in batch}
+        if token_buckets or frame_buckets:
+            from fancyrec_tpu.data.loader import bucket_batch
+            dev = bucket_batch(dev, token_buckets, frame_buckets)
         if mesh is not None:
             from fancyrec_tpu.parallel.mesh import shard_batch
             dev = shard_batch(mesh, dev, batch_axis=0)

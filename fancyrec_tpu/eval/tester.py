@@ -123,7 +123,12 @@ def main(argv=None):
         # the reference tester's caption/visual consistency guard
         # (tester.py:97 -> data_provider.py:203-205)
         n_caption=opt.n_caption)
-    loader = BatchLoader(dataset, opt.batch_size, final_batch="pad")
+    # train-time bucket config rides the checkpoint: length-sort the eval
+    # order so the buckets bite (composition-free -- encode_data scatters
+    # embeddings back by dataset index)
+    bucketing = bool(cfg.token_buckets_list or cfg.frame_buckets_list)
+    loader = BatchLoader(dataset, opt.batch_size, final_batch="pad",
+                         grouped="sort" if bucketing else "off")
 
     model = FancyRec(cfg)
     params = ckpt["model"]["params"]
@@ -139,7 +144,9 @@ def main(argv=None):
                       else "%d,1" % len(jax.devices()))
     with jax.set_mesh(mesh):
         brands, post_embs = encode_data(model, params, batch_stats, loader,
-                                        cfg.common_embedding_size, mesh=mesh)
+                                        cfg.common_embedding_size, mesh=mesh,
+                                        token_buckets=cfg.token_buckets_list,
+                                        frame_buckets=cfg.frame_buckets_list)
         m = test_post_ranking(model, params, cfg.brand_num, post_embs,
                               brands, mesh=mesh)
 

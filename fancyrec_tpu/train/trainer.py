@@ -99,7 +99,9 @@ def build_datasets(cfg: Config) -> Dict[str, PostDataset]:
 def validate(model, state, loader, cfg: Config, encode_fn=None, mesh=None):
     brands, post_embs = encode_data(model, state.params, state.batch_stats,
                                     loader, cfg.common_embedding_size,
-                                    encode_fn, mesh=mesh)
+                                    encode_fn, mesh=mesh,
+                                    token_buckets=cfg.token_buckets_list,
+                                    frame_buckets=cfg.frame_buckets_list)
     m = test_post_ranking(model, state.params, cfg.brand_num, post_embs,
                           brands, mesh=mesh)
     print("MedR:", m.medr)
@@ -113,7 +115,8 @@ def validate(model, state, loader, cfg: Config, encode_fn=None, mesh=None):
     return composite_score(m), m
 
 
-def _superbatches(loader, accumulation_step: int, transfer_dtype: str = ""):
+def _superbatches(loader, accumulation_step: int, transfer_dtype: str = "",
+                  token_buckets=None, frame_buckets=None):
     """Group loader batches into stacked super-batches of A microbatches.
 
     The trailing partial group is skipped: the reference only steps the
@@ -136,6 +139,11 @@ def _superbatches(loader, accumulation_step: int, transfer_dtype: str = ""):
         group.append(batch)
         if len(group) == accumulation_step:
             sb = stack_microbatches(group)
+            if token_buckets or frame_buckets:
+                # quantized dynamic padding: the whole super-batch shares
+                # one bucket shape (all A microbatches feed one jit call)
+                from fancyrec_tpu.data.loader import bucket_batch
+                sb = bucket_batch(sb, token_buckets, frame_buckets)
             if cast is not None:
                 sb = {k: (v.astype(cast) if v.dtype == np.float32 else v)
                       for k, v in sb.items()}
@@ -145,7 +153,8 @@ def _superbatches(loader, accumulation_step: int, transfer_dtype: str = ""):
 
 def train_epoch(train_step, state, loader, accumulation_step: int,
                 epoch: int, num_epochs: int, mesh=None,
-                transfer_dtype: str = ""):
+                transfer_dtype: str = "", token_buckets=None,
+                frame_buckets=None):
     print("Epoch[{0} / {1}] LR: {2}".format(
         epoch, num_epochs, current_lr(state)))
     losses = []
@@ -162,7 +171,8 @@ def train_epoch(train_step, state, loader, accumulation_step: int,
     # data/loader.prefetch_to_device and tests/test_multiprocess.py);
     # super-batch assembly still overlaps the step on the thread
     stream = prefetch_to_device(
-        _superbatches(loader, accumulation_step, transfer_dtype),
+        _superbatches(loader, accumulation_step, transfer_dtype,
+                      token_buckets, frame_buckets),
         size=2, device_put=put,
         stage_on_consumer=jax.process_count() > 1)
     for superbatch in stream:
@@ -259,15 +269,24 @@ def _run(cfg: Config, mesh):
     datasets = build_datasets(cfg)
     cfg.finalize()
 
+    # eval loaders length-sort whenever buckets are on (composition-free:
+    # encode_data scatters embeddings back by dataset index); the train
+    # loader regroups only under the opt-in --length_grouped
+    bucketing = bool(cfg.token_buckets_list or cfg.frame_buckets_list)
+    eval_grouped = "sort" if bucketing else "off"
     loaders = {
-        "train": BatchLoader(datasets["train"], cfg.batch_size, shuffle=True,
-                             seed=cfg.seed, final_batch="drop"),
-        "val": BatchLoader(datasets["val"], cfg.batch_size, final_batch="pad"),
+        "train": BatchLoader(
+            datasets["train"], cfg.batch_size, shuffle=True,
+            seed=cfg.seed, final_batch="drop",
+            grouped="window" if cfg.length_grouped else "off"),
+        "val": BatchLoader(datasets["val"], cfg.batch_size,
+                           final_batch="pad", grouped=eval_grouped),
         # 'check': the train set re-scored for overfitting detection
         # (reference data_provider.py:365-369)
         "check": BatchLoader(datasets["train"], cfg.batch_size,
-                             final_batch="pad"),
-        "test": BatchLoader(datasets["test"], cfg.batch_size, final_batch="pad"),
+                             final_batch="pad", grouped=eval_grouped),
+        "test": BatchLoader(datasets["test"], cfg.batch_size,
+                            final_batch="pad", grouped=eval_grouped),
     }
 
     model, state = init_state(cfg)
@@ -356,7 +375,9 @@ def _run(cfg: Config, mesh):
             state, _ = train_epoch(train_step, state, loaders["train"],
                                    cfg.accumulation_step, epoch,
                                    cfg.num_epochs, mesh=mesh,
-                                   transfer_dtype=cfg.transfer_dtype)
+                                   transfer_dtype=cfg.transfer_dtype,
+                                   token_buckets=cfg.token_buckets_list,
+                                   frame_buckets=cfg.frame_buckets_list)
 
         print("=" * 58)
         print("=" * 23 + "Test Phase" + "=" * 25)

@@ -30,16 +30,20 @@ import __graft_entry__ as g  # noqa: E402
 from fancyrec_tpu.train.state import init_state, make_optimizer
 
 
+def _drain(out):
+    # device-side slice FIRST, then fetch one scalar: np.asarray on the
+    # full leaf would pull hundreds of MB over the tunnel
+    leaf = jax.tree.leaves(out)[0]
+    _ = np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timeit(fn, *args, iters=100, label=""):
     print("compiling", label, flush=True)
-    out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    _ = np.asarray(leaf)[(0,) * leaf.ndim]
+    _drain(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    _ = np.asarray(leaf)[(0,) * leaf.ndim]
+    _drain(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -58,13 +62,15 @@ def main():
     tx = make_optimizer(cfg)
 
     def upd(tx):
+        # no donation: the timing loop re-feeds the same buffers, and
+        # donated inputs are consumed on first use. All candidates pay
+        # the same fresh-output allocation, so the A/B stands; absolute
+        # numbers are an upper bound on the in-step (donated) cost.
         def f(opt_state, params, grads):
             updates, new_opt = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt
-        return jax.jit(f, donate_argnums=(0, 1))
+        return jax.jit(f)
 
-    # NOTE: donation means each timed call consumes its inputs; rebuild
-    # state fresh per candidate.
     res["chain_ms"] = timeit(upd(tx), tx.init(params), params, grads,
                              iters=iters, label="chain")
 
@@ -88,7 +94,7 @@ def main():
         vhat = v / (1 - b2 ** t)
         return p - lr * mhat / (jnp.sqrt(vhat) + eps), m, v, t
     res["fused_ms"] = timeit(
-        jax.jit(fused, donate_argnums=(0, 1, 2)),
+        jax.jit(fused),
         flat, m, v, jnp.zeros((), jnp.float32), gflat,
         iters=iters, label="fused")
 

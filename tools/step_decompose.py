@@ -24,15 +24,20 @@ from fancyrec_tpu.train.state import init_state, make_optimizer
 from fancyrec_tpu.train.step import make_train_step, stack_microbatches
 
 
+def _drain(out):
+    # device-side slice FIRST, then fetch one scalar: np.asarray on the
+    # full leaf would pull a large grad leaf over the tunnel each drain
+    leaf = jax.tree.leaves(out)[0]
+    _ = np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timeit(fn, *args, iters=100, label=""):
     print("compiling", label, flush=True)
-    out = fn(*args)
-    _ = np.asarray(jax.tree.leaves(out)[0])[(0,) * jax.tree.leaves(out)[0].ndim]
+    _drain(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    _ = np.asarray(leaf)[(0,) * leaf.ndim]          # drain via tiny fetch
+    _drain(out)                                     # drain via tiny fetch
     return (time.perf_counter() - t0) / iters * 1e3
 
 
