@@ -136,6 +136,10 @@ class Config:
                                     # is bounded by the dynamic batch-max length)
     frame_buckets: str = ""         # same for the frame axis (insCar is ~90% 1-frame
                                     # image posts padded to 64 frames without this)
+    compilation_cache_dir: str = "" # persistent XLA compile cache: executables
+                                    # survive process restarts (first jit over
+                                    # a TPU link is 20-40 s per program, and
+                                    # buckets multiply the program count)
     length_grouped: bool = False    # compose TRAIN batches from length-sorted windows
                                     # so buckets actually bite (changes batch
                                     # composition -- opt-in; eval batches are length
@@ -336,6 +340,8 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--token_buckets", type=str, default=d.token_buckets)
     p.add_argument("--frame_buckets", type=str, default=d.frame_buckets)
     p.add_argument("--length_grouped", type=int, default=int(d.length_grouped))
+    p.add_argument("--compilation_cache_dir", type=str,
+                   default=d.compilation_cache_dir)
     p.add_argument("--transfer_dtype", type=str, default=d.transfer_dtype)
     p.add_argument("--mesh_shape", type=str, default=d.mesh_shape)
     p.add_argument("--max_frames", type=int, default=d.max_frames)
@@ -349,6 +355,22 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq_shard", action="store_true")
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     return p
+
+
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Point JAX's persistent compilation cache at `cache_dir` (created if
+    missing). Compiled executables then survive process restarts: the
+    first jit of the recipe step over a TPU link costs 20-40 s per
+    program, and bucketed padding (token_buckets/frame_buckets) compiles
+    one program per bucket shape, so warm restarts skip minutes of
+    compilation. Safe to call more than once."""
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # default thresholds skip sub-second/small programs; cache everything
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def config_from_args(args: argparse.Namespace) -> Config:

@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--bert_vocab", type=str, default="")
     # TPU-native extension: "" = all local devices data-parallel; "1" = one
     p.add_argument("--mesh_shape", type=str, default="")
+    # persistent XLA compile cache ("" = inherit the checkpoint config's)
+    p.add_argument("--compilation_cache_dir", type=str, default="")
     return p.parse_args(argv)
 
 
@@ -66,6 +68,11 @@ def main(argv=None):
     print("=> loaded!")
     cfg: Config = ckpt["config"]
     cfg.rootpath = opt.rootpath
+    cache_dir = opt.compilation_cache_dir or getattr(
+        cfg, "compilation_cache_dir", "")
+    if cache_dir:
+        from fancyrec_tpu.config import enable_compilation_cache
+        enable_compilation_cache(cache_dir)
     testCollection = opt.testCollection
 
     # output-dir derivation + overwrite guard (reference tester.py:69-75).

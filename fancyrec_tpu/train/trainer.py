@@ -217,6 +217,9 @@ def main(argv=None):
     args = build_train_parser().parse_args(argv)
     cfg = config_from_args(args)
     print(json.dumps({k: v for k, v in vars(args).items()}, indent=2, default=str))
+    if cfg.compilation_cache_dir:
+        from fancyrec_tpu.config import enable_compilation_cache
+        enable_compilation_cache(cfg.compilation_cache_dir)
 
     # Scale-out wiring (TPU-native; the reference's counterpart is its single
     # global `device`, util/constant.py:6, threaded into everything): start

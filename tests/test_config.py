@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -92,3 +93,24 @@ def test_mesh_batch_divisibility_rejected():
            mesh_shape="8,1").finalize()
     Config(bow_vocab_size=10, visual_feat_dim=8, batch_size=7,
            mesh_shape="1,2").finalize()
+
+
+def test_compilation_cache_populates(tmp_path):
+    """enable_compilation_cache points JAX's persistent cache at the dir;
+    a jitted call then writes an executable entry (warm restarts of the
+    bucketed trainer skip the per-program compiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fancyrec_tpu.config import enable_compilation_cache
+
+    prev = jax.config.values.get("jax_compilation_cache_dir")
+    cache = str(tmp_path / "xla_cache")
+    try:
+        enable_compilation_cache(cache)
+        assert os.path.isdir(cache)
+        # fresh shape so the in-memory jit cache can't satisfy it
+        jax.jit(lambda x: (x * 3 + 1).sum())(jnp.arange(173.0)).block_until_ready()
+        assert os.listdir(cache), "no persistent cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

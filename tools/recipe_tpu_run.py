@@ -5,7 +5,7 @@ batch 8 x accum 8) trained end-to-end on a synthetic 51-brand tree.
 Validates that the full-production shapes compile and train on hardware and
 records epoch wall times.
 
-Usage: python tools/recipe_tpu_run.py [workdir] [fast]
+Usage: python tools/recipe_tpu_run.py [workdir] [fast] [bucketed]
 
 `fast` runs the documented throughput mode instead -- batch 64 x accum 1
 (the same 64 posts per optimizer update as the parity recipe) in bfloat16
@@ -13,6 +13,13 @@ towers with bfloat16 host->device staging. It must reach the same final
 quality as the parity config on this synthetic tree (AUC ~1.0), which
 promotes the b64/bf16 bench numbers from a measurement to a supported
 configuration. Run both modes and compare the printed JSON lines.
+
+`bucketed` adds quantized dynamic padding + length-grouped batching on
+top of fast (--token_buckets/--frame_buckets/--length_grouped): the
+fixture's posts are 1-frame images and 6-frame videos with short
+captions, so batches slice from the static (64, 128) pad down to
+(1|8, 16|32) -- less transfer over the host->device link AND less BiGRU/
+BERT work per step. Same quality bar as fast.
 """
 
 import json
@@ -24,7 +31,9 @@ import time
 def main():
     argv = [a for a in sys.argv[1:]]
     fast = "fast" in argv
-    argv = [a for a in argv if a != "fast"]
+    bucketed = "bucketed" in argv
+    fast = fast or bucketed
+    argv = [a for a in argv if a not in ("fast", "bucketed")]
     workdir = argv[0] if argv else "/tmp/fancyrec_recipe_run"
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
@@ -44,7 +53,13 @@ def main():
                    "--dtype", "bfloat16", "--transfer_dtype", "bfloat16"]
                   if fast else
                   ["--batch_size", "8", "--accumulation_step", "8"])
-    postfix = "recipe_tpu_fast" if fast else "recipe_tpu"
+    if bucketed:
+        mode_flags += ["--token_buckets", "16,32", "--frame_buckets", "1,8",
+                       "--length_grouped", "1"]
+    postfix = ("recipe_tpu_bucketed" if bucketed
+               else "recipe_tpu_fast" if fast else "recipe_tpu")
+    mode_name = ("bucketed_b64_bf16" if bucketed
+                 else "fast_b64_bf16" if fast else "parity_b8x8")
 
     t0 = time.time()
     best = trainer.main([
@@ -62,13 +77,13 @@ def main():
         "--metric", "auc", "--measure", "cosine", "--margin", "0.2",
     ] + mode_flags)
     dt = time.time() - t0
-    print(json.dumps({"mode": "fast_b64_bf16" if fast else "parity_b8x8",
+    print(json.dumps({"mode": mode_name,
                       "recipe_train_2epochs_sec": round(dt, 1),
                       "best_composite": best}), flush=True)
 
     m = tester.main(["insCartest", "--rootpath", root,
                      "--logger_name", os.path.join(root, "model", postfix)])
-    print(json.dumps({"mode": "fast_b64_bf16" if fast else "parity_b8x8",
+    print(json.dumps({"mode": mode_name,
                       "tester_auc": m.auc, "tester_r1": m.r1}), flush=True)
 
 
