@@ -203,14 +203,22 @@ def _latest_epoch_checkpoint(logdir: str):
 
 
 class MetricsLog:
-    """JSONL metrics stream (tensorboard-logger equivalent, grep-able)."""
+    """Per-epoch metrics to metrics.jsonl (grep-able) AND a real
+    TensorBoard scalar event file (the reference configures
+    tensorboard_logger into the same logdir, trainer.py:151; ours
+    actually writes the scalars, so `tensorboard --logdir` works)."""
 
     def __init__(self, logdir: str):
+        from fancyrec_tpu.utils.tb_events import TBEventWriter
         self.path = os.path.join(logdir, "metrics.jsonl")
+        self.tb = TBEventWriter(logdir)
 
     def write(self, record: dict) -> None:
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        self.tb.add_scalars(record.get("epoch", 0),
+                            {k: v for k, v in record.items()
+                             if isinstance(v, (int, float))})
 
 
 def main(argv=None):

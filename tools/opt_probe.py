@@ -1,9 +1,12 @@
 """Probe optimizer-update cost vs the HBM roofline on the real chip.
 
 Adam over the 97.8M-param recipe model moves ~7N f32 words per update
-(read g,m,v,p; write m,v,p) = 2.7 GB -> ~3.3 ms at the v5e's 819 GB/s.
-tools/step_decompose.py measured ~9 ms through the production optax
-chain (clip_by_global_norm + inject_hyperparams(adam)). Candidates:
+(read g,m,v,p; write m,v,p) = 2.7 GB -> ~3.6 ms at the v5e's 819 GB/s
+(~4.1 ms counting the clip pass's extra grad read). Measured (v5e-1,
+100 iters): chain 5.26 ms (78% of roofline), flat 10.5 ms (ravel_pytree
+copies every update -- a pessimization), fused-no-clip 4.72 ms. VERDICT:
+a Pallas fused Adam+clip could recover at most ~1.2 ms/step (4% of the
+b64 step) -- the production chain stays. Candidates:
 
   chain     the production make_optimizer chain as-is
   flat      optax.flatten(chain): one ravel'd buffer per moment, so the
