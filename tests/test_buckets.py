@@ -252,3 +252,49 @@ def test_train_e2e_bucketed(tmp_path):
     m = tester.main(["insCartest", "--rootpath", root,
                      "--logger_name", logdir, "--batch_size", "4"])
     assert m.auc > 0.8
+
+
+def test_encode_bucketed_under_mesh_matches_single_device():
+    """Bucketed encode over an 8-device data mesh == single-device: the
+    bucket slice happens before shard_batch, so each bucket shape shards
+    the batch axis independently."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.eval.evaluator import encode_data
+    from fancyrec_tpu.parallel.mesh import build_mesh
+    from fancyrec_tpu.train.state import init_state
+
+    cfg = g._flagship_cfg(tiny=True)
+    model, state = init_state(cfg)
+
+    class _Loader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.dataset = [None] * sum(b["n_valid"] for b in batches)
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    rng = np.random.RandomState(0)
+    batches = []
+    for i in range(3):
+        b = {k: np.array(v)
+             for k, v in g._example_batch(cfg, cfg.batch_size, rng).items()}
+        b["tmask"][:, 5 + i:] = 0
+        b["vmask"][:, 2 + i:] = 0
+        b["tokens"] *= b["tmask"]
+        b["frames"] *= b["vmask"][:, :, None]
+        b["idxs"] = np.arange(i * cfg.batch_size, (i + 1) * cfg.batch_size)
+        b["n_valid"] = cfg.batch_size
+        batches.append(b)
+
+    kw = dict(token_buckets=[8, cfg.max_tokens],
+              frame_buckets=[4, cfg.max_frames])
+    _, single = encode_data(model, state.params, state.batch_stats,
+                            _Loader(batches), cfg.common_embedding_size, **kw)
+    mesh = build_mesh("8,1")
+    with jax.set_mesh(mesh):
+        _, sharded = encode_data(model, state.params, state.batch_stats,
+                                 _Loader(batches), cfg.common_embedding_size,
+                                 mesh=mesh, **kw)
+    np.testing.assert_allclose(single, sharded, rtol=0, atol=2e-6)
