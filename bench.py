@@ -260,6 +260,83 @@ def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
     return n_posts * iters / (time.perf_counter() - t0)
 
 
+def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
+              nlist: int = 2048, nprobe: int = 64, iters: int = 200) -> dict:
+    """Single-query latency: exact int8 brute force vs the IVF-Flat ANN
+    sidecar at 1M x 1024 (both device-resident, amortized over `iters`
+    calls -- the tunnel RTT would otherwise swamp the kernel time).
+    Exact reads the whole 1 GB index per query; IVF probes nprobe/nlist
+    of it. Also reports measured recall@k of IVF against exact on the
+    same queries. Posts are generated on-device (a 4 GB host->device
+    transfer would dominate) and the IVF build itself runs on-device
+    (serving/ivf.py packs in HBM)."""
+    from fancyrec_tpu.ops.similarity import quantize_rows_int8, retrieval_topk
+    from fancyrec_tpu.serving.ivf import IVFIndex
+
+    # clustered corpus (1024 latent topics + noise): isotropic gaussians
+    # in 1024-d have NO neighbor structure -- every cluster is equidistant
+    # and IVF recall collapses to nprobe/nlist by construction. Real post
+    # embeddings are brand/topic-clustered, which is the regime ANN
+    # serves; queries sit near topic centers like brand embeddings do.
+    # Built by broadcast, not centers[labels]: a 1M-row gather runs at
+    # per-row overhead on TPU (~6 min for 4 GB) and the lazy value would
+    # otherwise be forced inside the timed build.
+    k1, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 3)
+    nc = 1024
+    per = n_posts // nc
+    n_posts = nc * per
+    centers = jax.random.normal(k1, (nc, dim), jnp.float32)
+    posts = (centers[:, None, :]
+             + 0.5 * jax.random.normal(k3, (nc, per, dim), jnp.float32)
+             ).reshape(n_posts, dim)
+    _ = np.asarray(posts[0, :1])     # force datagen outside the timed build
+    t0 = time.perf_counter()
+    ivf = IVFIndex.build(posts, nlist=nlist, iters=10, quantize="int8")
+    _ = np.asarray(ivf.packed_idx[0, :1])
+    build_s = time.perf_counter() - t0
+
+    q8, qinv = jax.jit(quantize_rows_int8)(posts)
+    del posts
+    queries = (centers[jax.random.randint(k4, (8,), 0, 1024)]
+               + 0.5 * jax.random.normal(k4, (8, dim), jnp.float32))
+    exact_fn = jax.jit(lambda q, p, i: retrieval_topk(
+        q, p, k, block=4096, posts_inv=i))
+
+    def drain(x):
+        _ = np.asarray(x[0][:1])
+
+    # exact single query (amortized)
+    q1 = queries[:1]
+    drain(exact_fn(q1, q8, qinv))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = exact_fn(q1, q8, qinv)
+    drain(out)
+    exact_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    # ivf single query (amortized)
+    _ = ivf.query(np.asarray(q1), k=k, nprobe=nprobe)
+    fn = ivf._jitted_query(1, k, nprobe)
+    args = (q1, ivf.packed, ivf.packed_idx, ivf.centroids, ivf.inv_norms)
+    drain(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    drain(out)
+    ivf_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    # recall@k of ivf vs exact over the 8 sample queries
+    _, e_idx = exact_fn(queries, q8, qinv)
+    _, i_idx = ivf.query(np.asarray(queries), k=k, nprobe=nprobe)
+    e_idx, i_idx = np.asarray(e_idx), np.asarray(i_idx)
+    recall = np.mean([len(set(e_idx[i]) & set(i_idx[i])) / k
+                      for i in range(len(e_idx))])
+    return {"n_posts": n_posts, "nlist": nlist, "nprobe": nprobe,
+            "build_s": build_s, "exact_single_query_ms": exact_ms,
+            "ivf_single_query_ms": ivf_ms,
+            "speedup": exact_ms / ivf_ms, "recall_at_%d" % k: float(recall)}
+
+
 def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
                   iters: int = 20, quantize: str = "") -> dict:
     """End-to-end PostIndex.query latency at 1M posts: the jit-cached
@@ -381,6 +458,9 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
     run("retrieval_1m_int8_mposts_per_sec",
         lambda: round(bench_retrieval(quantize="int8") / 1e6, 2))
     run("eval", lambda: {k: round(v, 2) for k, v in bench_eval().items()})
+    run("ivf_single_query", lambda: {
+        k: round(v, 4) if isinstance(v, float) else v
+        for k, v in bench_ivf().items()})
     run("serving_query_ms", lambda: round(
         bench_serving()["query_latency_ms"], 1))
     run("serving_query_int8_ms", lambda: round(
@@ -470,6 +550,17 @@ def main():
             "tflops_per_sec": round(r["tflops_per_sec"], 2),
             "mfu_vs_bf16_peak": round(r["mfu_vs_bf16_peak"], 4),
         }))
+    elif mode == "ivf":
+        r = bench_ivf()
+        print(json.dumps({
+            "metric": "ivf_single_query_latency_1m_posts",
+            "value": round(r["ivf_single_query_ms"], 2), "unit": "ms",
+            "vs_baseline": None,
+            "exact_single_query_ms": round(r["exact_single_query_ms"], 2),
+            "speedup": round(r["speedup"], 2),
+            "recall_at_10": round(r["recall_at_10"], 4),
+            "build_s": round(r["build_s"], 1),
+        }))
     elif mode == "serving":
         quant = args[0] if args else ""
         r = bench_serving(quantize=quant)
@@ -502,7 +593,7 @@ def main():
     else:
         raise SystemExit("usage: bench.py [resnet [batch]|train [batch]"
                          "|train_resident|train_bucketed [bf16]"
-                         "|retrieval [int8]|eval"
+                         "|retrieval [int8]|eval|ivf"
                          "|serving [int8]|all [out.json]]")
 
 

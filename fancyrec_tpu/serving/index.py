@@ -246,6 +246,7 @@ class PostIndex:
         self._posts = None
         self._posts_inv = None
         self._query_cache = {}
+        self._ivf = None
         if device_resident:
             self.posts()
 
@@ -261,6 +262,16 @@ class PostIndex:
         self._posts = None
         self._posts_inv = None
         self._query_cache = {}
+        self._ivf = None   # appends invalidate the ANN sidecar layout
+
+    def ivf(self):
+        """Lazy-loaded IVF sidecar (build_ivf_sidecar), or None."""
+        if self._ivf is None:
+            ivf_dir = os.path.join(self._index_dir, "ivf")
+            if os.path.exists(os.path.join(ivf_dir, "ivf_meta.json")):
+                from fancyrec_tpu.serving.ivf import IVFIndex
+                self._ivf = IVFIndex.load(ivf_dir)
+        return self._ivf
 
     def _load_quantized(self):
         """int8 rows + inv-norm sidecar, cached on disk next to the store
@@ -348,14 +359,31 @@ class PostIndex:
         return fn
 
     def query(self, brand_ids: Sequence[int], k: int = 10,
-              block: int = 4096, score_dtype=jnp.float32
-              ) -> Tuple[np.ndarray, list]:
+              block: int = 4096, score_dtype=jnp.float32,
+              nprobe: int = 0) -> Tuple[np.ndarray, list]:
         """-> (scores (B, k), [[cap_id, ...] per brand]) best-first.
 
         When k exceeds the number of posts, the trailing slots carry
         score -inf and name None (the top-k kernels pad with index-0
-        filler that must not surface as a real cap_id)."""
-        q = jnp.asarray(self.brand_embs[np.asarray(brand_ids)])
+        filler that must not surface as a real cap_id).
+
+        nprobe > 0 routes through the IVF-Flat ANN sidecar
+        (build_ivf_sidecar): approximate, reads ~nprobe/nlist of the
+        index -- for SINGLE-brand queries at 10M+ posts. Batched
+        all-brand queries should keep the exact path (one full index
+        read amortizes across the whole batch)."""
+        q_np = self.brand_embs[np.asarray(brand_ids)]
+        if nprobe > 0:
+            ivf = self.ivf()
+            if ivf is None:
+                raise ValueError(
+                    "nprobe given but no IVF sidecar: run "
+                    "`fancyrec-index ivf-build %s` first" % self._index_dir)
+            vals, idxs = ivf.query(q_np, k=k, nprobe=nprobe)
+            names = [[self.cap_ids[i] if i >= 0 else None for i in row]
+                     for row in idxs]
+            return vals, names
+        q = jnp.asarray(q_np)
         fn = self._jitted_topk(q.shape[0], k, block, score_dtype)
         vals, idxs = fn(q, self.posts(), self._posts_inv)
         idxs = np.asarray(idxs)
@@ -364,6 +392,24 @@ class PostIndex:
                   for i, v in zip(row, vrow)]
                  for row, vrow in zip(idxs, vals)]
         return vals, names
+
+
+def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
+                      quantize: str = "", seed: int = 0) -> dict:
+    """Build the IVF-Flat ANN sidecar for an existing index directory
+    (single-query serving at 10M+ posts; see serving/ivf.py). The sidecar
+    lives under <index_dir>/ivf and is picked up by
+    PostIndex.query(..., nprobe=N)."""
+    from fancyrec_tpu.serving.ivf import IVFIndex
+
+    store = BigFileReader(index_dir, delimiter="\t")
+    embs = store.read_rows(np.arange(store.nr_of_rows))
+    ivf = IVFIndex.build(embs, nlist=nlist, iters=iters, seed=seed,
+                         quantize=quantize)
+    out = os.path.join(index_dir, "ivf")
+    ivf.save(out)
+    return {"nlist": int(ivf.nlist), "cap": int(ivf.cap),
+            "posts": store.nr_of_rows, "out": out}
 
 
 def main(argv=None):
@@ -388,11 +434,21 @@ def main(argv=None):
     ad.add_argument("--batch_size", type=int, default=128)
     ad.add_argument("--bert_vocab", default="")
     ad.add_argument("--mesh_shape", default="")
+    iv = sub.add_parser("ivf-build")
+    iv.add_argument("index_dir")
+    iv.add_argument("--nlist", type=int, default=0,
+                    help="coarse clusters (default ~2*sqrt(N))")
+    iv.add_argument("--iters", type=int, default=10)
+    iv.add_argument("--quantize", default="", choices=["", "int8"])
+    iv.add_argument("--seed", type=int, default=0)
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("--brands", required=True,
                    help="comma-separated brand ids")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--nprobe", type=int, default=0,
+                   help=">0: approximate single-query path over the IVF "
+                        "sidecar, probing nprobe coarse clusters")
     q.add_argument("--mesh_shape", default="",
                    help="'auto' = shard posts over all local devices; "
                         "'N' or 'N,1' = over N; '' = single device")
@@ -401,7 +457,7 @@ def main(argv=None):
                         "exact-int32 MXU scoring (~1e-3 score rounding)")
     a = p.parse_args(argv)
     mesh = None
-    if a.mesh_shape:
+    if getattr(a, "mesh_shape", ""):
         from fancyrec_tpu.parallel.mesh import build_mesh
         mesh = build_mesh("" if a.mesh_shape == "auto" else a.mesh_shape)
     if a.cmd == "build":
@@ -412,10 +468,16 @@ def main(argv=None):
         n = add_collection_to_index(a.index_dir, a.rootpath, a.collection,
                                     a.batch_size, a.bert_vocab, mesh=mesh)
         print(json.dumps({"total_posts": n, "index": a.index_dir}))
+    elif a.cmd == "ivf-build":
+        info = build_ivf_sidecar(a.index_dir, nlist=a.nlist or None,
+                                 iters=a.iters, quantize=a.quantize,
+                                 seed=a.seed)
+        print(json.dumps(info))
     else:
-        index = PostIndex(a.index_dir, mesh=mesh, quantize=a.quantize)
+        index = PostIndex(a.index_dir, mesh=mesh, quantize=a.quantize,
+                          device_resident=a.nprobe == 0)
         ids = [int(x) for x in a.brands.split(",")]
-        vals, names = index.query(ids, k=a.k)
+        vals, names = index.query(ids, k=a.k, nprobe=a.nprobe)
         for b_id, v, n in zip(ids, vals, names):
             print(json.dumps({"brand": b_id,
                               "results": [{"post": pid, "score": round(float(s), 5)}

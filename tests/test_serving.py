@@ -276,3 +276,42 @@ def test_query_k_exceeding_posts_yields_none_filler(tmp_path):
         assert np.isneginf(vrow[6:]).all()
         assert all(n is None for n in nrow[6:])
         assert all(n is not None for n in nrow[:6])
+
+
+def test_ivf_sidecar_build_and_query(tmp_path, capsys):
+    """ivf-build CLI + PostIndex.query(nprobe=...): full-probe equals the
+    exact path; small-probe returns valid high-scoring posts."""
+    from fancyrec_tpu.serving.index import build_ivf_sidecar
+
+    idx_dir = str(tmp_path / "toy")
+    _toy_index(idx_dir, n_posts=240, dim=16)
+    info = build_ivf_sidecar(idx_dir, nlist=8, iters=5)
+    assert info["posts"] == 240 and os.path.isdir(info["out"])
+
+    index = PostIndex(idx_dir, device_resident=False)
+    v_exact, n_exact = index.query([1], k=5)
+    v_full, n_full = index.query([1], k=5, nprobe=8)     # probe everything
+    assert n_full[0] == n_exact[0]
+    np.testing.assert_allclose(v_full[0], v_exact[0], atol=1e-5)
+
+    v_small, n_small = index.query([1], k=5, nprobe=2)
+    assert all(n is not None for n in n_small[0])
+    assert set(n_small[0]) <= set(index.cap_ids)
+    # approximate top-1 still lands in the exact top-5 on toy data
+    assert n_small[0][0] in n_exact[0]
+
+    # CLI: ivf-build then query --nprobe
+    capsys.readouterr()
+    index_main(["ivf-build", idx_dir, "--nlist", "8"])
+    index_main(["query", idx_dir, "--brands", "1", "--k", "3",
+                "--nprobe", "2"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["brand"] == 1 and len(rec["results"]) == 3
+
+    # nprobe without a sidecar raises a pointed error
+    bare = str(tmp_path / "bare")
+    _toy_index(bare, n_posts=40, dim=16)
+    import pytest
+    with pytest.raises(ValueError, match="ivf-build"):
+        PostIndex(bare, device_resident=False).query([0], k=3, nprobe=2)
