@@ -193,17 +193,42 @@ class PostDataset:
         cap = self._tmask_cache.shape[1] + 1
         return frame_lens * cap + token_lens
 
-    def gather_batch(self, indices: Sequence[int], pad_to: Optional[int] = None
-                     ) -> Dict[str, np.ndarray]:
-        """Assemble one fixed-shape batch. Optionally right-pad the batch to
-        `pad_to` rows by repeating the last item (padding rows are excluded
-        via 'n_valid')."""
+    def collate_order(self, indices: Sequence[int],
+                      pad_to: Optional[int] = None) -> list:
+        """The final in-batch index order gather_batch would produce:
+        right-pad by repeating the last item, then the reference collate's
+        stable caption-length-descending sort (data_provider.py:28-29).
+        Lets a multi-host loader compute the GLOBAL batch order cheaply
+        (sort keys are precomputed) and gather only its process's slice."""
         indices = list(indices)
-        n_valid = len(indices)
         if pad_to is not None and len(indices) < pad_to:
             indices = indices + [indices[-1]] * (pad_to - len(indices))
-        # reference collates sort by caption length desc (stable)
         indices.sort(key=self._caption_sort_key, reverse=True)
+        return indices
+
+    def length_maxima(self, indices: Sequence[int]) -> Dict[str, int]:
+        """Max valid (frame, token) lengths over `indices`, from the
+        precomputed caches -- no feature IO. Multi-host bucketing needs
+        the GLOBAL maxima so every process slices identical shapes."""
+        sel = np.asarray(list(indices))
+        flen = max(int(min(len(self.item_rows[i]), self.max_frames))
+                   for i in sel)
+        tlen = int(self._tmask_cache[sel].sum(axis=1).max())
+        return {"flen_max": flen, "tlen_max": tlen}
+
+    def gather_batch(self, indices: Sequence[int], pad_to: Optional[int] = None,
+                     presort: bool = True) -> Dict[str, np.ndarray]:
+        """Assemble one fixed-shape batch. Optionally right-pad the batch to
+        `pad_to` rows by repeating the last item (padding rows are excluded
+        via 'n_valid'). presort=False trusts the caller's order (already
+        run through collate_order -- the per-process slice path)."""
+        indices = list(indices)
+        n_valid = len(indices)
+        if presort:
+            if pad_to is not None and len(indices) < pad_to:
+                indices = indices + [indices[-1]] * (pad_to - len(indices))
+            # reference collates sort by caption length desc (stable)
+            indices.sort(key=self._caption_sort_key, reverse=True)
         b = len(indices)
 
         # ---- visual: one vectorized gather per store ----

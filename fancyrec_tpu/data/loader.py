@@ -26,7 +26,8 @@ def _pick_bucket(need: int, buckets, cap: int) -> int:
 
 
 def bucket_batch(batch: Dict[str, np.ndarray], token_buckets=None,
-                 frame_buckets=None) -> Dict[str, np.ndarray]:
+                 frame_buckets=None, maxima: Optional[Dict[str, int]] = None
+                 ) -> Dict[str, np.ndarray]:
     """Slice the pad axes down to the smallest configured bucket covering
     the batch's max valid length (quantized dynamic padding).
 
@@ -43,14 +44,18 @@ def bucket_batch(batch: Dict[str, np.ndarray], token_buckets=None,
     out = dict(batch)
     if token_buckets:
         cap = batch["tmask"].shape[-1]
-        need = int(batch["tmask"].sum(-1).max())
+        # explicit maxima (multi-host: the GLOBAL batch max, so every
+        # process slices identical shapes from its local slice)
+        need = (maxima["tlen_max"] if maxima
+                else int(batch["tmask"].sum(-1).max()))
         tl = _pick_bucket(max(need, 1), token_buckets, cap)
         if tl < cap:
             for k in ("tokens", "type_ids", "tmask"):
                 out[k] = np.ascontiguousarray(batch[k][..., :tl])
     if frame_buckets:
         cap = batch["vmask"].shape[-1]
-        need = int(batch["vmask"].sum(-1).max())
+        need = (maxima["flen_max"] if maxima
+                else int(batch["vmask"].sum(-1).max()))
         fl = _pick_bucket(max(need, 1), frame_buckets, cap)
         if fl < cap:
             out["frames"] = np.ascontiguousarray(batch["frames"][..., :fl, :])
@@ -68,19 +73,39 @@ class BatchLoader:
 
     def __init__(self, dataset: PostDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 2,
-                 final_batch: str = "drop", grouped: str = "off"):
+                 final_batch: str = "drop", grouped: str = "off",
+                 process_shard: Optional[tuple] = None):
         assert final_batch in ("drop", "pad")
         # 'sort': global length-sort (eval -- composition-free, embeddings
         # scatter back by dataset index); 'window': shuffle, then sort
         # within windows of 64 batches and shuffle the batch order
         # (train -- keeps batches random-ish while length-homogeneous)
         assert grouped in ("off", "sort", "window")
+        # process_shard=(pid, pcount): multi-host IO sharding. Every
+        # process computes the identical GLOBAL batch order (the epoch
+        # permutation and collate sort are deterministic in (seed,
+        # epoch)), then gathers only its contiguous 1/pcount slice of
+        # the rows -- per-host feature IO scales down with host count
+        # instead of every host assembling the full global batch. The
+        # yielded dict carries LOCAL arrays plus global bookkeeping
+        # ('idxs' = full ordered index list, 'n_valid', and the global
+        # length maxima for bucketing); pair with
+        # parallel.mesh.shard_batch(process_local=True).
+        if process_shard is not None:
+            pid, pcount = process_shard
+            assert 0 <= pid < pcount
+            if batch_size % pcount:
+                raise ValueError(
+                    "process-sharded loading needs batch_size %% "
+                    "process_count == 0 (got %d %% %d)"
+                    % (batch_size, pcount))
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.final_batch = final_batch
         self.grouped = grouped
+        self.process_shard = process_shard
         self.epoch = 0
 
     def __len__(self):
@@ -115,7 +140,22 @@ class BatchLoader:
             rng.shuffle(starts)
         for start in starts:
             idx = order[start: start + bs]
-            yield self.dataset.gather_batch(idx, pad_to=bs)
+            if self.process_shard is None:
+                yield self.dataset.gather_batch(idx, pad_to=bs)
+                continue
+            pid, pcount = self.process_shard
+            ordered = self.dataset.collate_order(idx, pad_to=bs)
+            lo = len(ordered) * pid // pcount
+            hi = len(ordered) * (pid + 1) // pcount
+            batch = self.dataset.gather_batch(ordered[lo:hi], presort=False)
+            batch["idxs"] = np.asarray(ordered, np.int64)
+            batch["n_valid"] = len(idx)
+            # global labels for the eval scatter (the device arrays are
+            # this process's slice; idxs/brand_ids bookkeeping is global)
+            batch["brand_ids_global"] = self.dataset.brand_ids[
+                np.asarray(ordered)]
+            batch.update(self.dataset.length_maxima(ordered))
+            yield batch
 
 
 def prefetch_to_device(iterator, size: int = 2,

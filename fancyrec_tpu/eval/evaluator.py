@@ -62,16 +62,24 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
     from fancyrec_tpu.utils.meters import Progress
     progress = Progress(n, label="encode")
 
+    process_local = getattr(loader, "process_shard", None) is not None
+
     def stage(batch):
         """Host->device staging (runs on the prefetch thread so the mmap
         gather + transfer of batch i+1 overlap the device encode of i)."""
         dev = {k: batch[k] for k in _MODEL_KEYS if k in batch}
         if token_buckets or frame_buckets:
             from fancyrec_tpu.data.loader import bucket_batch
-            dev = bucket_batch(dev, token_buckets, frame_buckets)
+            # process-sharded loaders carry the GLOBAL length maxima so
+            # every host slices identical bucket shapes
+            maxima = ({k: batch[k] for k in ("tlen_max", "flen_max")}
+                      if "tlen_max" in batch else None)
+            dev = bucket_batch(dev, token_buckets, frame_buckets,
+                               maxima=maxima)
         if mesh is not None:
             from fancyrec_tpu.parallel.mesh import shard_batch
-            dev = shard_batch(mesh, dev, batch_axis=0)
+            dev = shard_batch(mesh, dev, batch_axis=0,
+                              process_local=process_local)
         else:
             dev = jax.device_put(dev)
         return batch, dev
@@ -104,7 +112,9 @@ def encode_data(model, params, batch_stats, loader, common_dim: int,
         # padding rows (repeat of the last item) overwrite with identical
         # values, so scattering all rows is safe; n_valid kept for clarity
         post_embs[idxs] = embs
-        brands[idxs] = batch["brand_ids"]
+        # process-sharded loaders ship LOCAL model arrays but global
+        # bookkeeping: scatter labels from the global copy then
+        brands[idxs] = batch.get("brand_ids_global", batch["brand_ids"])
         progress.add(k)
     return brands, post_embs
 

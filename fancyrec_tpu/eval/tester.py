@@ -59,8 +59,17 @@ def main(argv=None):
     opt = parse_args(argv)
     print(json.dumps(vars(opt), indent=2))
 
+    # pod-capable eval: join the jax.distributed job when the multi-host
+    # env vars are present (no-op single host), and make every
+    # file-existence exit follow the PRIMARY -- its filesystem is the
+    # source of truth, and a lone-process exit would strand the other
+    # hosts in their next collective (trainer.py has the same pattern)
+    from fancyrec_tpu.parallel.distributed import (
+        initialize_multihost, is_primary, primary_decision)
+    initialize_multihost()
+
     resume = os.path.join(opt.logger_name, opt.checkpoint_name)
-    if not os.path.exists(resume):
+    if primary_decision(not os.path.exists(resume)):
         logging.info(resume + " not exists.")
         sys.exit(0)
 
@@ -85,7 +94,8 @@ def main(argv=None):
                                     "/results/%s/" % cfg.trainCollection)
     pred_error_matrix_file = os.path.join(output_dir,
                                           "pred_errors_matrix.pth.tar")
-    if os.path.exists(pred_error_matrix_file) and not opt.overwrite:
+    if primary_decision(os.path.exists(pred_error_matrix_file)
+                        and not opt.overwrite):
         print("%s exists. skip" % pred_error_matrix_file)
         sys.exit(0)
     result_file = os.path.join(os.path.dirname(output_dir),
@@ -134,8 +144,6 @@ def main(argv=None):
     # order so the buckets bite (composition-free -- encode_data scatters
     # embeddings back by dataset index)
     bucketing = bool(cfg.token_buckets_list or cfg.frame_buckets_list)
-    loader = BatchLoader(dataset, opt.batch_size, final_batch="pad",
-                         grouped="sort" if bucketing else "off")
 
     model = FancyRec(cfg)
     params = ckpt["model"]["params"]
@@ -146,9 +154,15 @@ def main(argv=None):
     # kernel (the train-time mesh shape is irrelevant at eval; params are
     # replicated)
     import jax
-    from fancyrec_tpu.parallel.mesh import build_mesh
+    from fancyrec_tpu.parallel.mesh import build_mesh, process_batch_shard
     mesh = build_mesh(opt.mesh_shape if opt.mesh_shape != ""
                       else "%d,1" % len(jax.devices()))
+    # on a pod each process gathers only its 1/P slice of every batch
+    # (per-host feature IO scales with host count; see data/loader.py)
+    pshard = process_batch_shard(mesh, opt.batch_size)
+    loader = BatchLoader(dataset, opt.batch_size, final_batch="pad",
+                         grouped="sort" if bucketing else "off",
+                         process_shard=pshard)
     with jax.set_mesh(mesh):
         brands, post_embs = encode_data(model, params, batch_stats, loader,
                                         cfg.common_embedding_size, mesh=mesh,
@@ -165,9 +179,11 @@ def main(argv=None):
     print("recall@10:", m.r10)
     print("MedR:", m.medr)
     print("MeanR:", m.meanr)
-    os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
-    with open(result_file, "w") as f:
-        f.write(json.dumps({k: float(v) for k, v in m._asdict().items()}))
+    if is_primary():
+        os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
+        with open(result_file, "w") as f:
+            f.write(json.dumps(
+                {k: float(v) for k, v in m._asdict().items()}))
     return m
 
 

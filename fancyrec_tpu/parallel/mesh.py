@@ -101,19 +101,59 @@ def shard_state(mesh: Mesh, state):
     return jax.device_put(state, state_shardings(mesh, state))
 
 
+def process_batch_shard(mesh: Mesh, batch_size: int):
+    """-> (process_index, process_count) when per-process IO sharding is
+    safe for this mesh/batch, else None (fall back to every host
+    assembling the full global batch).
+
+    Safe means each process's addressable devices cover a contiguous,
+    equal block of the 'data' axis (process p owns exactly data rows
+    [p*D/P, (p+1)*D/P), each row on one process) and the batch splits
+    evenly across processes. Verified against the actual device
+    ownership of the mesh, not assumed from construction order."""
+    pcount = jax.process_count()
+    if pcount <= 1:
+        return None
+    data = mesh.devices.shape[0]
+    if data % pcount or batch_size % pcount:
+        return None
+    owners = np.asarray(
+        [[d.process_index for d in row] for row in mesh.devices])
+    row_owner = owners[:, 0]
+    if not (owners == row_owner[:, None]).all():
+        return None   # a data row spans processes
+    expected = np.repeat(np.arange(pcount), data // pcount)
+    if not np.array_equal(row_owner, expected):
+        return None   # ownership blocks not contiguous/process-ordered
+    return (jax.process_index(), pcount)
+
+
 _warned_replicate = set()
 
 
-def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0,
+                process_local: bool = False):
     """device_put a batch dict sharding the batch dim over 'data'.
 
     Arrays whose batch dim does not divide the data axis are replicated
     (still correct, but every device computes the full batch): that is a
     throughput bug for real batches, so it warns once per shape.
-    config.finalize rejects the trainer-CLI version of this mistake."""
+    config.finalize rejects the trainer-CLI version of this mistake.
+
+    process_local=True: each process passes only ITS contiguous slice of
+    the batch axis (a process-sharded BatchLoader) and the global array
+    is assembled shard-wise with no cross-host data movement -- the mesh
+    lays devices out process-major, so process p's addressable shards
+    are exactly rows [p*B/P, (p+1)*B/P). Non-batch leaves must still be
+    globally identical on every process (they replicate)."""
+    pcount = jax.process_count()
 
     def put(x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
+        if process_local and pcount > 1 and x.ndim > batch_axis \
+                and (x.shape[batch_axis] * pcount) % mesh.devices.shape[0] == 0:
+            return jax.make_array_from_process_local_data(
+                batch_sharding(mesh, x.ndim, batch_axis), x)
         if x.ndim > batch_axis and x.shape[batch_axis] % mesh.devices.shape[0] == 0:
             return jax.device_put(x, batch_sharding(mesh, x.ndim, batch_axis))
         if x.ndim > batch_axis and x.shape[batch_axis] > 1 \

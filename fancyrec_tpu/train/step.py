@@ -115,8 +115,18 @@ def make_train_step(model, cfg: Config, tx: optax.GradientTransformation):
     return step
 
 
+_BOOKKEEPING_KEYS = ("n_valid", "idxs", "tlen_max", "flen_max",
+                     "brand_ids_global")
+
+
 def stack_microbatches(batches):
-    """List of A batch dicts -> one super-batch dict with leading axis A."""
+    """List of A batch dicts -> one super-batch dict with leading axis A.
+
+    Host-side bookkeeping (scatter indices, valid counts, global length
+    maxima) never reaches the device: the step doesn't read it, and
+    under process-sharded loading the model arrays are per-process
+    slices while the bookkeeping is global -- stacking them together
+    would corrupt the local->global shard assembly."""
     import numpy as np
-    keys = [k for k in batches[0] if k != "n_valid"]
+    keys = [k for k in batches[0] if k not in _BOOKKEEPING_KEYS]
     return {k: np.stack([b[k] for b in batches]) for k in keys}

@@ -141,9 +141,16 @@ def _superbatches(loader, accumulation_step: int, transfer_dtype: str = "",
             sb = stack_microbatches(group)
             if token_buckets or frame_buckets:
                 # quantized dynamic padding: the whole super-batch shares
-                # one bucket shape (all A microbatches feed one jit call)
+                # one bucket shape (all A microbatches feed one jit call).
+                # Process-sharded loaders carry the GLOBAL length maxima
+                # so every host slices identical shapes.
                 from fancyrec_tpu.data.loader import bucket_batch
-                sb = bucket_batch(sb, token_buckets, frame_buckets)
+                maxima = None
+                if "tlen_max" in group[0]:
+                    maxima = {k: max(b[k] for b in group)
+                              for k in ("tlen_max", "flen_max")}
+                sb = bucket_batch(sb, token_buckets, frame_buckets,
+                                  maxima=maxima)
             if cast is not None:
                 sb = {k: (v.astype(cast) if v.dtype == np.float32 else v)
                       for k, v in sb.items()}
@@ -164,8 +171,10 @@ def train_epoch(train_step, state, loader, accumulation_step: int,
     # while the current step runs (host gather <-> TPU compute overlap);
     # with a mesh, the microbatch axis (axis 1; axis 0 is accumulation) is
     # sharded over 'data' so the step runs data-parallel under GSPMD
-    put = (lambda b: shard_batch(mesh, b, batch_axis=1)) if mesh is not None \
-        else None
+    process_local = getattr(loader, "process_shard", None) is not None
+    put = (lambda b: shard_batch(mesh, b, batch_axis=1,
+                                 process_local=process_local)) \
+        if mesh is not None else None
     # multi-process: device interaction stays on the main thread (the
     # background-thread device_put deadlocks gloo collectives -- see
     # data/loader.prefetch_to_device and tests/test_multiprocess.py);
@@ -285,19 +294,34 @@ def _run(cfg: Config, mesh):
     # loader regroups only under the opt-in --length_grouped
     bucketing = bool(cfg.token_buckets_list or cfg.frame_buckets_list)
     eval_grouped = "sort" if bucketing else "off"
+    # multi-host: each process gathers only its 1/P slice of every batch
+    # (per-host feature IO scales with host count); falls back to
+    # every-host-full-batch when the mesh/batch layout is not cleanly
+    # process-divisible
+    from fancyrec_tpu.parallel.mesh import process_batch_shard
+    pshard = process_batch_shard(mesh, cfg.batch_size)
+    if pshard is not None:
+        print("process-sharded loading: process %d/%d gathers %d of %d "
+              "rows per batch" % (pshard[0], pshard[1],
+                                  cfg.batch_size // pshard[1],
+                                  cfg.batch_size))
     loaders = {
         "train": BatchLoader(
             datasets["train"], cfg.batch_size, shuffle=True,
             seed=cfg.seed, final_batch="drop",
-            grouped="window" if cfg.length_grouped else "off"),
+            grouped="window" if cfg.length_grouped else "off",
+            process_shard=pshard),
         "val": BatchLoader(datasets["val"], cfg.batch_size,
-                           final_batch="pad", grouped=eval_grouped),
+                           final_batch="pad", grouped=eval_grouped,
+                           process_shard=pshard),
         # 'check': the train set re-scored for overfitting detection
         # (reference data_provider.py:365-369)
         "check": BatchLoader(datasets["train"], cfg.batch_size,
-                             final_batch="pad", grouped=eval_grouped),
+                             final_batch="pad", grouped=eval_grouped,
+                             process_shard=pshard),
         "test": BatchLoader(datasets["test"], cfg.batch_size,
-                            final_batch="pad", grouped=eval_grouped),
+                            final_batch="pad", grouped=eval_grouped,
+                            process_shard=pshard),
     }
 
     model, state = init_state(cfg)

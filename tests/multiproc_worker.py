@@ -68,6 +68,11 @@ def main() -> None:
     best = trainer.main(argv)
     assert jax.process_count() == 2, jax.process_count()
     assert dist.is_primary() == (pid == 0)
+    # the trainer's loaders ran process-sharded on this topology (each
+    # process gathered only its half of every batch): the guard must
+    # enable for mesh (4,1) x batch 4 over 2 processes
+    from fancyrec_tpu.parallel.mesh import build_mesh, process_batch_shard
+    assert process_batch_shard(build_mesh("4,1"), 4) == (pid, 2)
 
     # second invocation: val_metric.txt now exists -> every process must
     # take the SAME exit via the primary_decision broadcast (the
@@ -82,8 +87,18 @@ def main() -> None:
         skipped = True
     assert skipped, "rerun with overwrite=0 must skip via primary_decision"
 
+    # the pod-capable tester CLI: multihost-aware skip decisions, a
+    # process-sharded test loader, primary-gated mean_metrics.json --
+    # every process must produce identical metrics (parent compares)
+    from fancyrec_tpu.eval import tester
+    logdir = os.path.join(root, "model", "run_2proc")
+    m = tester.main(["insCartest", "--rootpath", root,
+                     "--logger_name", logdir, "--batch_size", "4",
+                     "--mesh_shape", "4,1"])
+
     print("WORKER_RESULT " + json.dumps(
-        {"pid": pid, "best": float(best),
+        {"pid": pid, "best": float(best), "tester_auc": float(m.auc),
+         "tester_r1": float(m.r1),
          "process_count": jax.process_count()}), flush=True)
 
 

@@ -236,3 +236,57 @@ def test_prefetch_stage_on_consumer(fixture_root):
         iter(BatchLoader(ds, batch_size=4, final_batch="drop")),
         size=2, device_put=tracking_put))
     assert put_threads and all(t != main for t in put_threads)
+
+
+def test_process_sharded_loader_slices_match_global(fixture_root):
+    """Multi-host IO sharding: each process's local slice, concatenated
+    in process order, must reproduce the global batch exactly, with
+    global bookkeeping (idxs/n_valid/length maxima) identical on every
+    process."""
+    ds = _build_dataset(fixture_root)
+    bs, pcount = 6, 2
+    global_batches = list(BatchLoader(ds, bs, shuffle=True, seed=7,
+                                      final_batch="pad"))
+    shards = [list(BatchLoader(ds, bs, shuffle=True, seed=7,
+                               final_batch="pad",
+                               process_shard=(p, pcount)))
+              for p in range(pcount)]
+    arr_keys = ["brand_ids", "frames", "origin", "vmask", "bows",
+                "tokens", "type_ids", "tmask"]
+    for bi, gb in enumerate(global_batches):
+        locals_ = [shards[p][bi] for p in range(pcount)]
+        for k in arr_keys:
+            merged = np.concatenate([lb[k] for lb in locals_], axis=0)
+            np.testing.assert_array_equal(merged, gb[k], err_msg=k)
+        for lb in locals_:
+            assert lb["frames"].shape[0] == bs // pcount
+            np.testing.assert_array_equal(lb["idxs"], gb["idxs"])
+            assert lb["n_valid"] == gb["n_valid"]
+            assert lb["tlen_max"] == int(gb["tmask"].sum(1).max())
+            assert lb["flen_max"] == int(gb["vmask"].sum(1).max())
+
+
+def test_process_sharded_loader_rejects_indivisible(fixture_root):
+    ds = _build_dataset(fixture_root)
+    with pytest.raises(ValueError, match="process_count"):
+        BatchLoader(ds, 5, process_shard=(0, 2))
+
+
+def test_bucket_batch_explicit_maxima():
+    from fancyrec_tpu.data.loader import bucket_batch
+    rng = np.random.RandomState(0)
+    tmask = (np.arange(16)[None] < 2).astype(np.int32) * np.ones((4, 1), np.int32)
+    vmask = (np.arange(8)[None] < 1).astype(np.float32) * np.ones((4, 1), np.float32)
+    batch = {
+        "tokens": rng.randint(1, 9, (4, 16)).astype(np.int32) * tmask,
+        "type_ids": np.zeros((4, 16), np.int32),
+        "tmask": tmask,
+        "frames": rng.randn(4, 8, 6).astype(np.float32),
+        "vmask": vmask,
+    }
+    # local slice max is (2 tokens, 1 frame) but the GLOBAL maxima
+    # (another process holds longer rows) govern the bucket choice
+    out = bucket_batch(batch, token_buckets=[4, 16], frame_buckets=[2, 8],
+                       maxima={"tlen_max": 3, "flen_max": 2})
+    assert out["tokens"].shape == (4, 4)
+    assert out["frames"].shape == (4, 2, 6)

@@ -78,6 +78,16 @@ def test_two_process_distributed_trainer(tmp_path):
     # both processes observed the same best score (identical collectives)
     assert results[0]["best"] == pytest.approx(results[1]["best"], rel=1e-6)
     assert results[0]["best"] > 400, results[0]["best"]
+    # the pod-capable tester: identical metrics on every process, learned
+    # signal present
+    assert results[0]["tester_auc"] == pytest.approx(
+        results[1]["tester_auc"], rel=1e-6)
+    assert results[0]["tester_auc"] > 0.8, results[0]["tester_auc"]
+    # the primary wrote the tester artifact (location mirrors the
+    # reference's output-dir derivation from the checkpoint path)
+    import glob
+    assert glob.glob(os.path.join(root, "model", "**",
+                                  "mean_metrics.json"), recursive=True)
 
     # the primary (and only the primary -- the worker's writers are
     # booby-trapped, so its exit 0 proves it never wrote) left the full
