@@ -76,7 +76,15 @@ def _encode_collection(ckpt, rootpath: str, collection: str,
         rnn_vocab=rnn_vocab, tokenizer=tokenizer, video2frames=video2frames,
         img_info=img_info, cls_info=cls_info, max_frames=cfg.max_frames,
         max_tokens=cfg.max_tokens, max_words=cfg.max_words)
-    loader = BatchLoader(dataset, batch_size, final_batch="pad")
+    # pod-scale builds: each host gathers only its 1/P slice of every
+    # batch (same contract as the trainer/tester loaders; None on a
+    # single process or a non-process-blocked mesh)
+    pshard = None
+    if mesh is not None:
+        from fancyrec_tpu.parallel.mesh import process_batch_shard
+        pshard = process_batch_shard(mesh, batch_size)
+    loader = BatchLoader(dataset, batch_size, final_batch="pad",
+                         process_shard=pshard)
 
     model = FancyRec(cfg)
     params = ckpt["model"]["params"]
@@ -96,6 +104,13 @@ def build_index(checkpoint_path: str, rootpath: str, collection: str,
     ckpt = checkpoints.load_any(checkpoint_path)
     cap_ids, brands, post_embs, cfg, model, params = _encode_collection(
         ckpt, rootpath, collection, batch_size, bert_vocab, mesh)
+
+    # multi-host: every process participates in the collective encode
+    # above, but only the primary touches the (shared) filesystem --
+    # concurrent identical writers would corrupt the store
+    from fancyrec_tpu.parallel.distributed import is_primary
+    if not is_primary():
+        return len(cap_ids)
 
     # a rebuild over an existing index dir must invalidate any int8
     # sidecar cache: mtime ordering alone cannot tell a same-second
@@ -161,6 +176,13 @@ def append_to_index(index_dir: str, cap_ids, post_embs, brands) -> int:
         raise ValueError("duplicate ids within the appended batch")
     if np.isnan(post_embs).any():
         raise ValueError("NaN rows in appended embeddings")
+
+    # multi-host: validations run everywhere (same inputs), writes only on
+    # the primary -- a shared-FS append from every process would
+    # duplicate rows
+    from fancyrec_tpu.parallel.distributed import is_primary
+    if not is_primary():
+        return store.nr_of_rows + len(cap_ids)
 
     with open(os.path.join(index_dir, "feature.bin"), "ab") as f:
         f.write(np.ascontiguousarray(post_embs).tobytes())
@@ -458,6 +480,10 @@ def main(argv=None):
     a = p.parse_args(argv)
     mesh = None
     if getattr(a, "mesh_shape", ""):
+        # join the jax.distributed job first on a pod (no-op single host)
+        # so the mesh sees all global devices
+        from fancyrec_tpu.parallel.distributed import initialize_multihost
+        initialize_multihost()
         from fancyrec_tpu.parallel.mesh import build_mesh
         mesh = build_mesh("" if a.mesh_shape == "auto" else a.mesh_shape)
     if a.cmd == "build":

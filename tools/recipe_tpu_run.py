@@ -5,7 +5,7 @@ batch 8 x accum 8) trained end-to-end on a synthetic 51-brand tree.
 Validates that the full-production shapes compile and train on hardware and
 records epoch wall times.
 
-Usage: python tools/recipe_tpu_run.py [workdir] [fast] [bucketed]
+Usage: python tools/recipe_tpu_run.py [workdir] [fast] [bucketed] [rbg]
 
 `fast` runs the documented throughput mode instead -- batch 64 x accum 1
 (the same 64 posts per optimizer update as the parity recipe) in bfloat16
@@ -13,6 +13,12 @@ towers with bfloat16 host->device staging. It must reach the same final
 quality as the parity config on this synthetic tree (AUC ~1.0), which
 promotes the b64/bf16 bench numbers from a measurement to a supported
 configuration. Run both modes and compare the printed JSON lines.
+
+`rbg` adds --rng_impl rbg on top of fast: the threefry dropout-mask
+generation is ~4.9 ms of the 28.4 ms b64 step (tools/step_decompose.py);
+the hardware RBG PRNG generates masks at wire speed. Different mask
+stream than the parity default (still a valid Bernoulli sampler), so it
+must re-prove final quality here before being a recommended mode.
 
 `bucketed` adds quantized dynamic padding + length-grouped batching on
 top of fast (--token_buckets/--frame_buckets/--length_grouped): the
@@ -32,8 +38,9 @@ def main():
     argv = [a for a in sys.argv[1:]]
     fast = "fast" in argv
     bucketed = "bucketed" in argv
-    fast = fast or bucketed
-    argv = [a for a in argv if a not in ("fast", "bucketed")]
+    rbg = "rbg" in argv
+    fast = fast or bucketed or rbg
+    argv = [a for a in argv if a not in ("fast", "bucketed", "rbg")]
     workdir = argv[0] if argv else "/tmp/fancyrec_recipe_run"
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
@@ -56,9 +63,13 @@ def main():
     if bucketed:
         mode_flags += ["--token_buckets", "16,32", "--frame_buckets", "1,8",
                        "--length_grouped", "1"]
+    if rbg:
+        mode_flags += ["--rng_impl", "rbg"]
     postfix = ("recipe_tpu_bucketed" if bucketed
+               else "recipe_tpu_rbg" if rbg
                else "recipe_tpu_fast" if fast else "recipe_tpu")
     mode_name = ("bucketed_b64_bf16" if bucketed
+                 else "fast_b64_bf16_rbg" if rbg
                  else "fast_b64_bf16" if fast else "parity_b8x8")
 
     t0 = time.time()
