@@ -315,3 +315,36 @@ def test_ivf_sidecar_build_and_query(tmp_path, capsys):
     import pytest
     with pytest.raises(ValueError, match="ivf-build"):
         PostIndex(bare, device_resident=False).query([0], k=3, nprobe=2)
+
+
+def test_append_writes_gated_to_primary(tmp_path, monkeypatch):
+    """On a pod every process computes the append (collective encode) but
+    only the primary may touch the shared filesystem -- a non-primary
+    append_to_index must validate, return the new total, and write
+    NOTHING (every-host appends would duplicate rows)."""
+    import fancyrec_tpu.parallel.distributed as dist
+    from fancyrec_tpu.serving.index import append_to_index
+
+    idx_dir = str(tmp_path / "idx")
+    _toy_index(idx_dir, n_posts=20, dim=16)
+    before = {f: os.path.getsize(os.path.join(idx_dir, f))
+              for f in os.listdir(idx_dir)}
+
+    monkeypatch.setattr(dist, "is_primary", lambda: False)
+    rng = np.random.RandomState(0)
+    total = append_to_index(idx_dir, ["new0", "new1"],
+                            rng.randn(2, 16).astype(np.float32),
+                            np.array([0, 1], np.int32))
+    assert total == 22   # the logical total every process agrees on
+    after = {f: os.path.getsize(os.path.join(idx_dir, f))
+             for f in os.listdir(idx_dir)}
+    assert after == before   # nothing written off-primary
+
+    # the primary path still writes
+    monkeypatch.setattr(dist, "is_primary", lambda: True)
+    total = append_to_index(idx_dir, ["new0", "new1"],
+                            rng.randn(2, 16).astype(np.float32),
+                            np.array([0, 1], np.int32))
+    assert total == 22
+    assert os.path.getsize(os.path.join(idx_dir, "feature.bin")) > \
+        before["feature.bin"]
