@@ -64,6 +64,11 @@ def main() -> None:
         # auto_resume exercises assert_agreement (latest-epoch allgather
         # compare) on the fresh run, then the skip broadcast on rerun
         "--auto_resume",
+        # bucketed dynamic padding under process-sharded loading: every
+        # host must slice the GLOBAL bucket shape from its local rows --
+        # a per-host shape divergence here compiles different programs
+        # and hangs the collectives, which is exactly what this guards
+        "--token_buckets", "8,16", "--frame_buckets", "2,4",
     ]
     best = trainer.main(argv)
     assert jax.process_count() == 2, jax.process_count()

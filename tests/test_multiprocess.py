@@ -119,5 +119,6 @@ def test_two_process_distributed_trainer(tmp_path):
             "--text_net", "bi-gru", "--fusion_style", "ph",
             "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "1",
             "--postfix", "run_1proc", "--mesh_shape", "4,1",
+            "--token_buckets", "8,16", "--frame_buckets", "2,4",
         ])
         assert results[0]["best"] == pytest.approx(best_single, rel=1e-3)
