@@ -337,6 +337,12 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default=d.dtype)
     p.add_argument("--rng_impl", type=str, default=d.rng_impl,
                    choices=["threefry", "rbg"])
+    p.add_argument("--bert_remat", type=int, default=int(d.bert_remat),
+                   choices=[0, 1],
+                   help="rematerialize BERT layers in the backward pass "
+                        "(jax.checkpoint): ~1/num_layers the activation "
+                        "HBM for one extra forward of FLOPs -- enables "
+                        "much larger --batch_size at recipe dims")
     p.add_argument("--token_buckets", type=str, default=d.token_buckets)
     p.add_argument("--frame_buckets", type=str, default=d.frame_buckets)
     p.add_argument("--length_grouped", type=int, default=int(d.length_grouped))

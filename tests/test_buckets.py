@@ -298,3 +298,40 @@ def test_encode_bucketed_under_mesh_matches_single_device():
                                  _Loader(batches), cfg.common_embedding_size,
                                  mesh=mesh, **kw)
     np.testing.assert_allclose(single, sharded, rtol=0, atol=2e-6)
+
+
+def test_bert_remat_is_numerically_transparent():
+    """--bert_remat recomputes BERT-layer activations in the backward
+    (jax.checkpoint) instead of storing them: ~1/num_layers the
+    activation HBM for one extra forward of FLOPs. It must not change
+    the training math -- same loss, same updated params."""
+    from fancyrec_tpu.train.state import init_state, make_optimizer
+    from fancyrec_tpu.train.step import make_train_step, stack_microbatches
+
+    results = {}
+    for remat in (False, True):
+        cfg = g._flagship_cfg(tiny=True)
+        cfg.accumulation_step = 1
+        cfg.bert_remat = remat
+        model, state = init_state(cfg)
+        sb = stack_microbatches([{
+            k: np.asarray(v)
+            for k, v in g._example_batch(cfg, cfg.batch_size).items()}])
+        step = make_train_step(model, cfg, make_optimizer(cfg))
+        new_state, metrics = step(state, sb)
+        results[remat] = (float(metrics["loss"]),
+                          jax.device_get(new_state.params))
+
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-6)
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results[True][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_bert_remat_cli_flag_plumbs_through():
+    from fancyrec_tpu.config import build_train_parser, config_from_args
+    args = build_train_parser().parse_args(
+        ["tr", "va", "te", "--bert_remat", "1"])
+    assert config_from_args(args).bert_remat
+    args = build_train_parser().parse_args(["tr", "va", "te"])
+    assert not config_from_args(args).bert_remat
