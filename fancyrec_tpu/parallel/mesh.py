@@ -115,7 +115,11 @@ def process_batch_shard(mesh: Mesh, batch_size: int):
     if pcount <= 1:
         return None
     data = mesh.devices.shape[0]
-    if data % pcount or batch_size % pcount:
+    # batch must divide the full DATA AXIS, not just the process count:
+    # a non-dividing batch takes shard_batch's replicate fallback, which
+    # under process-local loading would replicate each LOCAL slice as if
+    # it were the global batch -- silently wrong results
+    if data % pcount or batch_size % data:
         return None
     owners = np.asarray(
         [[d.process_index for d in row] for row in mesh.devices])
@@ -150,8 +154,16 @@ def shard_batch(mesh: Mesh, batch, batch_axis: int = 0,
 
     def put(x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
-        if process_local and pcount > 1 and x.ndim > batch_axis \
-                and (x.shape[batch_axis] * pcount) % mesh.devices.shape[0] == 0:
+        if process_local and pcount > 1 and x.ndim > batch_axis:
+            if (x.shape[batch_axis] * pcount) % mesh.devices.shape[0]:
+                # replicating a LOCAL slice would silently treat it as
+                # the global batch; process_batch_shard guards batch
+                # divisibility up front, so reaching here is a bug
+                raise ValueError(
+                    "process-local batch axis %d of shape %s (x%d "
+                    "processes) does not divide the data mesh axis %d"
+                    % (batch_axis, x.shape, pcount,
+                       mesh.devices.shape[0]))
             return jax.make_array_from_process_local_data(
                 batch_sharding(mesh, x.ndim, batch_axis), x)
         if x.ndim > batch_axis and x.shape[batch_axis] % mesh.devices.shape[0] == 0:

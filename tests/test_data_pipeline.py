@@ -290,3 +290,40 @@ def test_bucket_batch_explicit_maxima():
                        maxima={"tlen_max": 3, "flen_max": 2})
     assert out["tokens"].shape == (4, 4)
     assert out["frames"].shape == (4, 2, 6)
+
+
+def test_process_batch_shard_guards(monkeypatch):
+    """The IO-sharding guard verifies actual device ownership and batch
+    divisibility; any violation falls back to full-batch-per-host."""
+    import types
+
+    import jax
+    from fancyrec_tpu.parallel.mesh import process_batch_shard
+
+    def mesh_owned_by(rows):   # rows: list of per-data-row owner lists
+        devs = np.empty((len(rows), len(rows[0])), object)
+        for i, row in enumerate(rows):
+            for j, p in enumerate(row):
+                devs[i, j] = types.SimpleNamespace(process_index=p)
+        return types.SimpleNamespace(devices=devs)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+
+    good = mesh_owned_by([[0], [0], [1], [1]])
+    assert process_batch_shard(good, 8) == (1, 2)
+    # batch must divide the DATA AXIS (8 % 4 ok, 6 % 4 not): non-dividing
+    # batches take the replicate fallback, invalid for local slices
+    assert process_batch_shard(good, 6) is None
+    # interleaved ownership: rows not contiguous per process
+    assert process_batch_shard(mesh_owned_by(
+        [[0], [1], [0], [1]]), 8) is None
+    # a data row spanning two processes
+    assert process_batch_shard(mesh_owned_by(
+        [[0, 0], [0, 1], [1, 1], [0, 1]]), 8) is None
+    # wrong process order (process 1 owns the leading block)
+    assert process_batch_shard(mesh_owned_by(
+        [[1], [1], [0], [0]]), 8) is None
+    # single process: always None
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    assert process_batch_shard(good, 8) is None
