@@ -76,9 +76,11 @@ class BrandAspects(nn.Module):
             return (weights @ aspects) / self.num_aspects
         fused = self.fused_dropout
         if fused is None:
+            from fancyrec_tpu.ops.dispatch import portable_mode
             # auto mode also requires an MXU-lane-friendly common dim
             # (production is 1024; tiny test configs stay on XLA)
-            fused = (jax.default_backend() == "tpu"
+            fused = (not portable_mode()
+                     and jax.default_backend() == "tpu"
                      and jax.device_count() == 1
                      and self.common_dim % 128 == 0)
         if fused:

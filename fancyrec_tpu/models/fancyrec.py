@@ -109,17 +109,25 @@ class FancyRec(nn.Module):
     def embed_txt(self, t: TextBatch, *, deterministic: bool = True):
         return self.text_encoding(t, deterministic=deterministic)
 
+    def embed_post(self, videos: Optional[VisualBatch],
+                   captions: Optional[TextBatch], *,
+                   deterministic: bool = True):
+        """Fused post embedding without the brand tower (the serving
+        encode: reference evaluator.py:38-81 only ever consumes the post
+        half of forward())."""
+        cfg = self.cfg
+        if cfg.single_modal_visual:
+            return self.embed_vis(videos, deterministic=deterministic)
+        if cfg.single_modal_text:
+            return self.embed_txt(captions, deterministic=deterministic)
+        vid_emb = self.embed_vis(videos, deterministic=deterministic)
+        cap_emb = self.embed_txt(captions, deterministic=deterministic)
+        return self.fusion_encoding(
+            vid_emb, cap_emb, deterministic=deterministic)
+
     def __call__(self, brand_ids, videos: Optional[VisualBatch],
                  captions: Optional[TextBatch], *, deterministic: bool = True):
         brand_embs = self.embed_brand(brand_ids, deterministic=deterministic)
-        cfg = self.cfg
-        if cfg.single_modal_visual:
-            post_embs = self.embed_vis(videos, deterministic=deterministic)
-        elif cfg.single_modal_text:
-            post_embs = self.embed_txt(captions, deterministic=deterministic)
-        else:
-            vid_emb = self.embed_vis(videos, deterministic=deterministic)
-            cap_emb = self.embed_txt(captions, deterministic=deterministic)
-            post_embs = self.fusion_encoding(
-                vid_emb, cap_emb, deterministic=deterministic)
+        post_embs = self.embed_post(videos, captions,
+                                    deterministic=deterministic)
         return brand_embs, post_embs

@@ -97,10 +97,12 @@ def _bigru_recurrence(x_fwd, x_bwd, fwd, bwd, use_pallas=None):
     auto-partition).
     """
     if use_pallas is None:
+        from fancyrec_tpu.ops.dispatch import portable_mode
         hidden = fwd["w_hh"].shape[1]
         # auto mode also requires MXU-lane-friendly widths (production
         # rnn sizes are 128-multiples; tiny test configs stay on scan)
-        use_pallas = (jax.default_backend() == "tpu"
+        use_pallas = (not portable_mode()
+                      and jax.default_backend() == "tpu"
                       and jax.device_count() == 1
                       and hidden % 128 == 0)
     if not use_pallas:
