@@ -194,6 +194,8 @@ def export_model(checkpoint_path: str, out_dir: str,
                 "args": list(arg_names),
                 "arg_shapes": {a: [str(d) for d in specs[a].shape]
                                for a in arg_names},
+                "arg_dtypes": {a: jnp.dtype(specs[a].dtype).name
+                               for a in arg_names},
                 "out_shape": [str(d) for d in exp.out_avals[0].shape],
                 "bytes": len(blob),
             }
@@ -222,13 +224,20 @@ class ExportedModel:
         with open(os.path.join(artifact_dir,
                                self.manifest["params_file"]), "rb") as f:
             state = fser.msgpack_restore(f.read())
+        # commit weights to device ONCE at load: leaving them as host
+        # numpy would re-stage ~400 MB of f32 params on every call
+        state = jax.device_put(state)
         self._params = state["params"]
         self._batch_stats = state["batch_stats"]
         self._fns = {}
         for name in self.manifest["entries"]:
             with open(os.path.join(artifact_dir,
                                    name + ".stablehlo"), "rb") as f:
-                self._fns[name] = jexport.deserialize(bytearray(f.read()))
+                exp = jexport.deserialize(bytearray(f.read()))
+            # jit-wrap once: a bare Exported.call re-lowers/compiles on
+            # EVERY invocation (~20-40 s each over the axon tunnel); under
+            # jit the program compiles once per call shape and is cached
+            self._fns[name] = jax.jit(exp.call)
 
     @property
     def entry_points(self):
@@ -238,11 +247,16 @@ class ExportedModel:
         if name not in self._fns:
             raise KeyError("entry %r not in artifact (has %s)"
                            % (name, self.entry_points))
-        arg_names = self.manifest["entries"][name]["args"]
+        entry = self.manifest["entries"][name]
+        arg_names = entry["args"]
         args = [self._params, self._batch_stats]
         if arg_names:
-            args += [jnp.asarray(batch[a]) for a in arg_names]
-        return self._fns[name].call(*args)
+            # cast via the manifest dtypes: JSON/python-list inputs arrive
+            # as float64/int64, which the traced program would reject
+            dts = entry.get("arg_dtypes", {})
+            args += [jnp.asarray(batch[a], dtype=dts.get(a))
+                     for a in arg_names]
+        return self._fns[name](*args)
 
     def encode_post(self, batch: dict) -> jnp.ndarray:
         return self._call("encode_post", batch)

@@ -1,0 +1,225 @@
+"""HTTP serving: brand<->post retrieval over an index + exported model.
+
+Completes the deployment story: the reference's "serving" is re-running
+tester.py over the full test split (reference tester.py:51-114); here a
+long-lived process loads a built PostIndex (serving/index.py) and,
+optionally, a StableHLO artifact dir (serving/export.py -- no model code)
+and answers JSON queries:
+
+  GET  /healthz                     liveness + index/artifact summary
+  POST /v1/topk      {"brand_ids": [0,3], "k": 10, "nprobe": 0}
+                       -> top-k posts per brand (nprobe>0 = IVF ANN path)
+  POST /v1/encode    {"frames": [...], "origin": [...], ...}
+                       -> post embeddings (needs --artifact)
+  POST /v1/recommend same body as /v1/encode plus optional "k"
+                       -> top-k brands per NEW post (encode + cosine vs
+                          the index's brand embeddings)
+  POST /v1/add       {"cap_ids": [...], "embeddings": [[...]],
+                      "brands": [...]}
+                       -> incremental index append + live refresh
+
+Single-chip discipline: every device touch (index query, artifact call)
+runs under one lock -- concurrent TPU entry from multiple threads can
+wedge the chip (CLAUDE.md "Concurrency hazard"). The HTTP layer is
+threaded so /healthz stays responsive during a long query.
+
+CLI: fancyrec-serve INDEX_DIR [--artifact DIR] [--port 8080]
+                    [--quantize int8] [--default_nprobe 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def _l2n(x, axis=-1):
+    return x / np.maximum(np.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+
+
+class FancyRecService:
+    """The transport-free serving core (used directly by tests/embeds)."""
+
+    def __init__(self, index_dir: str, artifact_dir: Optional[str] = None,
+                 quantize: str = "", default_nprobe: int = 0,
+                 device_resident: bool = True):
+        from fancyrec_tpu.serving.index import PostIndex
+
+        self._lock = threading.Lock()          # serialize all device work
+        self.index = PostIndex(index_dir, device_resident=device_resident,
+                               quantize=quantize)
+        self._index_dir = index_dir
+        self.default_nprobe = default_nprobe
+        self.model = None
+        if artifact_dir:
+            from fancyrec_tpu.serving.export import ExportedModel
+            self.model = ExportedModel(artifact_dir)
+
+    # -- endpoints -------------------------------------------------------
+
+    def healthz(self) -> dict:
+        return {
+            "ok": True,
+            "n_posts": int(self.index.n_posts),
+            "brand_num": int(self.index.brand_embs.shape[0]),
+            "dim": int(self.index.meta["dim"]),
+            "quantize": self.index.quantize,
+            "artifact_entries": (self.model.entry_points
+                                 if self.model else []),
+        }
+
+    def topk(self, body: dict) -> dict:
+        brand_ids = body.get("brand_ids")
+        if not isinstance(brand_ids, list) or not brand_ids:
+            raise ValueError("brand_ids: non-empty list required")
+        n_brands = self.index.brand_embs.shape[0]
+        bad = [b for b in brand_ids
+               if not isinstance(b, int) or not 0 <= b < n_brands]
+        if bad:
+            raise ValueError("brand_ids out of range [0, %d): %s"
+                             % (n_brands, bad))
+        k = int(body.get("k", 10))
+        nprobe = int(body.get("nprobe", self.default_nprobe))
+        with self._lock:
+            vals, names = self.index.query(brand_ids, k=k, nprobe=nprobe)
+        return {"results": [
+            {"brand": int(b),
+             "posts": [{"cap_id": n, "score": float(v)}
+                       for v, n in zip(vrow, nrow) if n is not None]}
+            for b, vrow, nrow in zip(brand_ids, vals, names)]}
+
+    def _encode(self, body: dict) -> np.ndarray:
+        if self.model is None:
+            raise ValueError("no --artifact loaded: /v1/encode and "
+                             "/v1/recommend need an exported model")
+        missing = [a for a in self.model.manifest["entries"]
+                   ["encode_post"]["args"] if a not in body]
+        if missing:
+            raise ValueError("missing encode inputs: %s" % missing)
+        with self._lock:
+            return np.asarray(self.model.encode_post(body))
+
+    def encode(self, body: dict) -> dict:
+        embs = self._encode(body)
+        return {"embeddings": embs.tolist()}
+
+    def recommend(self, body: dict) -> dict:
+        """Top-k brands for NEW posts: the product direction (which brands
+        should this content be recommended to)."""
+        k = int(body.get("k", 5))
+        embs = self._encode(body)
+        brands = _l2n(self.index.brand_embs.astype(np.float32))
+        scores = _l2n(embs) @ brands.T               # (B_posts, n_brands)
+        k = min(k, scores.shape[1])
+        order = np.argsort(-scores, axis=1)[:, :k]
+        return {"results": [
+            [{"brand": int(b), "score": float(row_scores[b])}
+             for b in row_order]
+            for row_scores, row_order in zip(scores, order)]}
+
+    def add(self, body: dict) -> dict:
+        from fancyrec_tpu.serving.index import append_to_index
+
+        cap_ids = body.get("cap_ids")
+        embs = body.get("embeddings")
+        brands = body.get("brands")
+        if not (isinstance(cap_ids, list) and isinstance(embs, list)
+                and isinstance(brands, list)
+                and len(cap_ids) == len(embs) == len(brands) > 0):
+            raise ValueError("cap_ids/embeddings/brands: equal-length "
+                             "non-empty lists required")
+        rows = np.asarray(embs, np.float32)
+        if rows.ndim != 2 or rows.shape[1] != self.index.meta["dim"]:
+            raise ValueError("embeddings must be (n, %d)"
+                             % self.index.meta["dim"])
+        with self._lock:
+            n = append_to_index(self._index_dir, cap_ids, rows,
+                                np.asarray(brands, np.int64))
+            self.index.refresh()
+        return {"n_posts": int(n)}
+
+    ROUTES = {"/v1/topk": topk, "/v1/encode": encode,
+              "/v1/recommend": recommend, "/v1/add": add}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: FancyRecService = None     # set by make_server
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):   # quiet by default
+        pass
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            return self._reply(200, self.service.healthz())
+        return self._reply(404, {"error": "not found: %s" % self.path})
+
+    def do_POST(self):
+        fn = FancyRecService.ROUTES.get(self.path)
+        if fn is None:
+            return self._reply(404, {"error": "not found: %s" % self.path})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(body, dict):
+                raise ValueError("request body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._reply(400, {"error": "bad request: %s" % e})
+        try:
+            return self._reply(200, fn(self.service, body))
+        except (ValueError, KeyError) as e:
+            return self._reply(400, {"error": str(e)})
+        except Exception as e:    # noqa: BLE001 -- surface, don't hang
+            return self._reply(500, {"error": "%s: %s"
+                                     % (type(e).__name__, e)})
+
+
+def make_server(service: FancyRecService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; port 0 picks an ephemeral port
+    (read it back from server.server_port)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="serve brand<->post retrieval over a built index")
+    p.add_argument("index_dir")
+    p.add_argument("--artifact", default="",
+                   help="exported model dir (fancyrec-export) enabling "
+                        "/v1/encode and /v1/recommend")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--quantize", default="", choices=["", "int8"])
+    p.add_argument("--default_nprobe", type=int, default=0,
+                   help=">0 routes /v1/topk through the IVF sidecar "
+                        "unless the request overrides nprobe")
+    a = p.parse_args(argv)
+    service = FancyRecService(a.index_dir, artifact_dir=a.artifact or None,
+                              quantize=a.quantize,
+                              default_nprobe=a.default_nprobe)
+    server = make_server(service, a.host, a.port)
+    print(json.dumps({"serving": "http://%s:%d" % server.server_address,
+                      **service.healthz()}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

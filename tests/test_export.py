@@ -158,6 +158,28 @@ def test_export_cli(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "params.msgpack"))
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="cross-platform artifact check needs a TPU")
+def test_export_artifact_runs_on_tpu(tmp_path):
+    """The cpu+tpu multi-platform artifact must EXECUTE on real TPU
+    hardware and match the live model run on the same chip (run with
+    FANCYREC_TEST_TPU=1 on the v5e)."""
+    cfg = _tiny_cfg()
+    model, state, ckpt = _make_ckpt(tmp_path, cfg)
+    out = str(tmp_path / "artifacts")
+    export_model(ckpt, out, platforms=("cpu", "tpu"), batch=0)
+    loaded = ExportedModel(out)
+    batch = _batch(cfg, 4, seed=2)
+    got = np.asarray(loaded.encode_post(batch))
+    want = np.asarray(_direct(model, state, cfg, batch, "encode_post"))
+    # both sides run on the same TPU; exported vs live jit may fuse
+    # differently (f32 reassociation only)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    brands = np.asarray(loaded.embed_brand())
+    assert brands.shape == (cfg.brand_num, cfg.common_embedding_size)
+    assert np.isfinite(brands).all()
+
+
 def test_export_rejects_unknown_entry(tmp_path):
     cfg = _tiny_cfg()
     _, _, ckpt = _make_ckpt(tmp_path, cfg)

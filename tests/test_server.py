@@ -1,0 +1,137 @@
+"""HTTP serving layer: PostIndex + ExportedModel behind JSON endpoints.
+
+Starts the real ThreadingHTTPServer on an ephemeral port and talks to it
+over actual sockets (http.client) -- the wire format is the contract.
+"""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from fancyrec_tpu.serving.export import export_model
+from fancyrec_tpu.serving.server import FancyRecService, make_server
+from tests.test_export import _batch, _make_ckpt, _tiny_cfg
+from tests.test_serving import _toy_index
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("server")
+    idx_dir = str(tmp / "index")
+    embs = _toy_index(idx_dir, n_posts=40, dim=16, brand_num=4, seed=0)
+
+    cfg = _tiny_cfg()
+    assert cfg.common_embedding_size == 16   # must match the index dim
+    model, state, ckpt = _make_ckpt(tmp, cfg)
+    art_dir = str(tmp / "artifacts")
+    export_model(ckpt, art_dir, platforms=("cpu",), batch=0)
+
+    service = FancyRecService(idx_dir, artifact_dir=art_dir)
+    server = make_server(service, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield {"port": server.server_port, "service": service, "embs": embs,
+           "cfg": cfg, "idx_dir": idx_dir}
+    server.shutdown()
+    thread.join(timeout=10)
+
+
+def _req(port, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    payload = json.dumps(body) if body is not None else None
+    conn.request(method, path, body=payload,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def test_healthz(served):
+    status, data = _req(served["port"], "GET", "/healthz")
+    assert status == 200
+    assert data["ok"] and data["n_posts"] == 40 and data["brand_num"] == 4
+    assert "encode_post" in data["artifact_entries"]
+
+
+def test_topk_matches_direct_query(served):
+    status, data = _req(served["port"], "POST", "/v1/topk",
+                        {"brand_ids": [0, 2], "k": 5})
+    assert status == 200
+    vals, names = served["service"].index.query([0, 2], k=5)
+    for row, want_v, want_n in zip(data["results"], vals, names):
+        assert [p["cap_id"] for p in row["posts"]] == want_n
+        got_v = [p["score"] for p in row["posts"]]
+        np.testing.assert_allclose(got_v, want_v, atol=1e-6)
+
+
+def test_encode_and_recommend(served):
+    cfg = served["cfg"]
+    batch = _batch(cfg, 3, seed=7)
+    body = {k: v.tolist() for k, v in batch.items()}
+    status, data = _req(served["port"], "POST", "/v1/encode", body)
+    assert status == 200
+    embs = np.asarray(data["embeddings"], np.float32)
+    assert embs.shape == (3, cfg.common_embedding_size)
+    assert np.isfinite(embs).all()
+
+    body["k"] = 3
+    status, rec = _req(served["port"], "POST", "/v1/recommend", body)
+    assert status == 200
+    assert len(rec["results"]) == 3
+    # recommendation = cosine vs the index's brand embeddings, best-first
+    brands = served["service"].index.brand_embs.astype(np.float32)
+    bn = brands / np.linalg.norm(brands, axis=1, keepdims=True)
+    en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    want_order = np.argsort(-(en @ bn.T), axis=1)[:, :3]
+    for row, want in zip(rec["results"], want_order):
+        assert [r["brand"] for r in row] == list(want)
+        assert all(row[i]["score"] >= row[i + 1]["score"]
+                   for i in range(len(row) - 1))
+
+
+def test_add_then_query_sees_new_post(served):
+    port = served["port"]
+    dim = 16
+    rng = np.random.RandomState(3)
+    # a post engineered to be brand 1's nearest neighbor
+    new = served["service"].index.brand_embs[1] * 10.0
+    status, data = _req(port, "POST", "/v1/add", {
+        "cap_ids": ["fresh#enc#0", "fresh2#enc#0"],
+        "embeddings": [new.tolist(), rng.randn(dim).tolist()],
+        "brands": [1, 2]})
+    assert status == 200 and data["n_posts"] == 42
+
+    status, data = _req(port, "GET", "/healthz")
+    assert data["n_posts"] == 42
+    status, data = _req(port, "POST", "/v1/topk",
+                        {"brand_ids": [1], "k": 3})
+    assert status == 200
+    assert data["results"][0]["posts"][0]["cap_id"] == "fresh#enc#0"
+
+
+def test_error_paths(served):
+    port = served["port"]
+    status, data = _req(port, "POST", "/v1/topk", {"brand_ids": []})
+    assert status == 400 and "brand_ids" in data["error"]
+    status, data = _req(port, "POST", "/v1/topk", {"brand_ids": [99]})
+    assert status == 400 and "out of range" in data["error"]
+    status, data = _req(port, "POST", "/v1/add", {"cap_ids": ["a"],
+                        "embeddings": [[0.0] * 3], "brands": [0]})
+    assert status == 400
+    status, _ = _req(port, "GET", "/nope")
+    assert status == 404
+    status, data = _req(port, "POST", "/v1/encode", {"frames": []})
+    assert status == 400 and "missing encode inputs" in data["error"]
+
+
+def test_service_without_artifact(tmp_path):
+    idx_dir = str(tmp_path / "index")
+    _toy_index(idx_dir, n_posts=10, dim=8, brand_num=2, seed=1)
+    service = FancyRecService(idx_dir)
+    assert service.healthz()["artifact_entries"] == []
+    with pytest.raises(ValueError, match="no --artifact"):
+        service.encode({})
