@@ -29,6 +29,12 @@ Tracing runs under ops.dispatch.portable_lowering() so the auto-gated
 Pallas kernels pick their pure-XLA fallbacks: a Mosaic custom call baked
 into the bytes would pin the artifact to the exporting topology.
 
+Artifacts are SINGLE-DEVICE programs by design: serving scales by
+replication (one artifact per chip behind a balancer -- encode is
+embarrassingly batch-parallel), while the sharded-index path
+(serving/index.py with a mesh) covers the one serving stage that needs
+multi-chip memory, the 1M+ post top-k.
+
 CLI:
   fancyrec-export out/ --checkpoint model_best.pth.tar [--batch 0]
                        [--platforms cpu,tpu]
