@@ -186,12 +186,16 @@ class PostDataset:
         (frame count, token count) land in the same batch so bucketed
         padding (data/loader.bucket_batch) actually shrinks the shapes --
         insCar is ~90% single-frame image posts that otherwise pad to
-        max_frames alongside any video in the batch."""
-        frame_lens = np.array([min(len(r), self.max_frames)
-                               for r in self.item_rows], np.int64)
-        token_lens = self._tmask_cache.sum(axis=1).astype(np.int64)
-        cap = self._tmask_cache.shape[1] + 1
-        return frame_lens * cap + token_lens
+        max_frames alongside any video in the batch. Memoized: the inputs
+        are immutable after construction, and grouped loaders call this
+        every epoch (a python loop over every item at collection scale)."""
+        if getattr(self, "_length_keys_cache", None) is None:
+            frame_lens = np.array([min(len(r), self.max_frames)
+                                   for r in self.item_rows], np.int64)
+            token_lens = self._tmask_cache.sum(axis=1).astype(np.int64)
+            cap = self._tmask_cache.shape[1] + 1
+            self._length_keys_cache = frame_lens * cap + token_lens
+        return self._length_keys_cache
 
     def collate_order(self, indices: Sequence[int],
                       pad_to: Optional[int] = None) -> list:

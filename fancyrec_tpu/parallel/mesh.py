@@ -132,6 +132,24 @@ def process_batch_shard(mesh: Mesh, batch_size: int):
     return (jax.process_index(), pcount)
 
 
+def require_divisible_batch(mesh: Mesh, batch_size: int,
+                            flag: str = "--batch_size") -> None:
+    """Reject silent 1/N training throughput at mesh-build time.
+
+    config.finalize can only check an EXPLICIT --mesh_shape; the default
+    "" (all devices on 'data') resolves its data axis here, where the
+    device count is known. A batch that does not divide the data axis
+    would make shard_batch replicate every step: correct results, every
+    device computing the full batch."""
+    data = int(mesh.devices.shape[0])
+    if data > 1 and batch_size % data:
+        raise ValueError(
+            "%s %d is not divisible by the data mesh axis %d: the batch "
+            "would be replicated on every device instead of sharded. "
+            "Pick a multiple of %d (or shrink the mesh with --mesh_shape)."
+            % (flag, batch_size, data, data))
+
+
 _warned_replicate = set()
 
 
@@ -142,7 +160,9 @@ def shard_batch(mesh: Mesh, batch, batch_axis: int = 0,
     Arrays whose batch dim does not divide the data axis are replicated
     (still correct, but every device computes the full batch): that is a
     throughput bug for real batches, so it warns once per shape.
-    config.finalize rejects the trainer-CLI version of this mistake.
+    config.finalize rejects the explicit --mesh_shape version of this
+    mistake and require_divisible_batch the default-mesh version (the
+    trainer calls it right after build_mesh).
 
     process_local=True: each process passes only ITS contiguous slice of
     the batch axis (a process-sharded BatchLoader) and the global array

@@ -1,0 +1,182 @@
+"""Pipeline parallelism (GPipe-style) over a mesh axis.
+
+The reference has no distributed backend at all (reference
+util/constant.py:5-8 -- one global `device`); SURVEY.md §2.8 lists the
+TPU-native parallel modes this framework must provide. dp/tp/sp are wired
+into the trainer (parallel/mesh.py); this module adds the remaining named
+mode, pp: a layer stack sharded across mesh devices with microbatch
+pipelining, expressed the TPU way -- `shard_map` over the mesh axis with
+`lax.ppermute` moving activations stage->stage over ICI, everything inside
+one jitted program (no host round-trips between stages).
+
+Scope note (honest engineering): the recipe model (~105M params) fits on
+a single v5e chip with room to spare, so the production trainer does not
+*need* pp and does not enable it by default. The component exists for the
+scaled configs SURVEY §2.8 targets (deep text towers / future model
+growth), is numerically verified against the sequential stack (forward
+AND gradients, tests/test_pipeline.py), and is exercised under GSPMD in
+the driver's multichip dry run.
+
+Schedule: classic GPipe. With S stages and M microbatches the loop runs
+M+S-1 ticks; stage s processes microbatch m at tick t = m+s, so utilization
+is M/(M+S-1) (the bubble shrinks as M grows). Activations hop one stage
+per tick via a non-circular ppermute ring. Each stage holds L/S
+consecutive layers, applied with an inner lax.scan over the stacked layer
+params (one compiled layer body per stage, not L/S copies).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stack_layer_params(per_layer: list):
+    """[tree_0, ..., tree_{L-1}] (identical structure) -> one tree whose
+    leaves gain a leading layer axis L. The inverse of indexing layer i."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+
+
+def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
+                   aux: Any = None, *, mesh: Mesh, axis: str = "model",
+                   data_axis: Optional[str] = "data") -> jnp.ndarray:
+    """Run x through L stacked layers, the layer axis sharded over mesh
+    `axis` (S pipeline stages), with GPipe microbatch pipelining.
+
+    layer_fn(params_one_layer, h, aux_mb) -> h' must be batch-elementwise
+    (every transformer layer is): h has shape (mb, ...) and is transformed
+    without mixing microbatches. `aux` is an optional pytree of
+    per-microbatch side inputs with leading dims (M, mb, ...) (e.g. the
+    attention bias) that is indexed, not transformed, by the layers.
+
+    x: (M, mb, ...) -- the caller splits the batch into M microbatches.
+    stacked_params: pytree with leading layer dim L, L % S == 0; stage s
+    owns layers [s*L/S, (s+1)*L/S) in order.
+
+    The microbatch dim mb is additionally sharded over `data_axis` when
+    the mesh has one (pp composes with dp); pass data_axis=None to keep
+    it replicated. Returns (M, mb, ...), replicated over `axis`.
+
+    Differentiable end-to-end: the tick loop is a lax.scan and ppermute
+    has a well-defined transpose, so jax.grad pipelines the backward pass
+    through the same schedule in reverse.
+    """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_stages = axis_sizes[axis]
+    n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if n_layers % n_stages:
+        raise ValueError("num layers %d not divisible by %d pipeline "
+                         "stages (mesh axis %r)" % (n_layers, n_stages, axis))
+    n_micro = x.shape[0]
+    dspec = data_axis if (data_axis and axis_sizes.get(data_axis, 1) > 1) \
+        else None
+
+    def kernel(params_l, x_l, aux_l):
+        s = lax.axis_index(axis)
+        is_first = s == 0
+        is_last = s == n_stages - 1
+        # x/aux are replicated over the pipe axis; everything they meet
+        # (axis_index, params) varies over it -- promote up front so the
+        # scan carry has a consistent varying-axes type (jax>=0.9 vma)
+        x_l = lax.pcast(x_l, axis, to="varying")
+        aux_l = jax.tree_util.tree_map(
+            lambda a: lax.pcast(a, axis, to="varying"), aux_l)
+
+        def stage(h, aux_mb):
+            def body(carry, p):
+                return layer_fn(p, carry, aux_mb), None
+            h, _ = lax.scan(body, h, params_l)
+            return h
+
+        def tick(carry, t):
+            buf, out = carry
+            # stage s works on microbatch m = t - s (valid in [0, M))
+            m = jnp.clip(t - s, 0, n_micro - 1)
+            valid = (t - s >= 0) & (t - s < n_micro)
+            inject = lax.dynamic_index_in_dim(x_l, m, 0, keepdims=False)
+            h_in = jnp.where(is_first, inject, buf)
+            aux_mb = jax.tree_util.tree_map(
+                lambda a: lax.dynamic_index_in_dim(a, m, 0, keepdims=False),
+                aux_l)
+            y = stage(h_in, aux_mb)
+            # the last stage commits finished microbatches to the output
+            updated = lax.dynamic_update_index_in_dim(out, y, m, 0)
+            out = jnp.where(valid & is_last, updated, out)
+            # hop one stage down the ring (stage 0 receives nothing)
+            buf = lax.ppermute(y, axis,
+                               [(i, i + 1) for i in range(n_stages - 1)])
+            return (buf, out), None
+
+        # derive the zeros from the (pcast) input so they inherit its
+        # varying-axes type -- fresh zeros_like constants would not
+        buf0 = x_l[0] * 0
+        out0 = x_l * 0
+        (_, out), _ = lax.scan(tick, (buf0, out0),
+                               jnp.arange(n_micro + n_stages - 1))
+        # only the last stage holds real data; psum replicates it over the
+        # pipeline axis (every other stage contributes zeros)
+        return lax.psum(out, axis)
+
+    nd = x.ndim
+    xspec = P(None, dspec, *([None] * (nd - 2)))
+    aux_specs = jax.tree_util.tree_map(
+        lambda a: P(None, dspec, *([None] * (a.ndim - 2))), aux)
+    fn = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(axis), xspec, aux_specs),
+        out_specs=xspec)
+    return fn(stacked_params, x, aux)
+
+
+def bert_pipeline_forward(params: dict, cfg, input_ids, token_type_ids,
+                          attention_mask, *, mesh: Mesh,
+                          axis: str = "model", n_micro: int = 0):
+    """BertEncoder.apply equivalent with the layer stack pipelined over
+    mesh `axis` (deterministic path -- pipelining is a training/serving
+    scale-out of the compute, not a new model).
+
+    Consumes the PRODUCTION param tree (models/bert.py BertEncoder:
+    embeddings + layer_i subtrees) unchanged, so any trained checkpoint
+    runs pipelined without conversion. Embeddings + final masking math
+    stay replicated (they are negligible next to the layer stack).
+    """
+    from flax import linen as nn
+    from fancyrec_tpu.models.bert import BertLayer
+
+    b, t = input_ids.shape
+    n_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    n_micro = n_micro or n_stages
+    if b % n_micro:
+        raise ValueError("batch %d not divisible into %d microbatches"
+                         % (b, n_micro))
+
+    hidden = (params["word_embeddings"][input_ids]
+              + params["position_embeddings"][jnp.arange(t)][None]
+              + params["token_type_embeddings"][token_type_ids])
+    # the exact flax LayerNorm the sequential encoder uses (fast-variance
+    # formula): a hand-rolled LN here would drift at the 1e-7 level
+    hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps).apply(
+        {"params": params["embeddings_ln"]}, hidden)
+    hidden = hidden.astype(cfg._dt)
+
+    mask = attention_mask.astype(jnp.float32)
+    attn_bias = (1.0 - mask)[:, None, None, :] * jnp.finfo(jnp.float32).min
+
+    stacked = stack_layer_params(
+        [params["layer_%d" % i] for i in range(cfg.num_hidden_layers)])
+    layer = BertLayer(cfg)
+
+    def layer_fn(p, h, bias):
+        # keep the residual-stream dtype stable across the scan carry
+        # (no-op in f32; in bf16 mode flax LayerNorm upcasts its output)
+        return layer.apply({"params": p}, h, bias, True).astype(h.dtype)
+
+    mb = b // n_micro
+    x = hidden.reshape(n_micro, mb, t, -1)
+    bias = attn_bias.reshape(n_micro, mb, *attn_bias.shape[1:])
+    out = pipeline_apply(layer_fn, stacked, x, bias, mesh=mesh, axis=axis)
+    return out.reshape(b, t, -1)

@@ -120,6 +120,13 @@ def build_index(checkpoint_path: str, rootpath: str, collection: str,
         p = os.path.join(out_dir, stale)
         if os.path.exists(p):
             os.remove(p)
+    # same for the IVF ANN sidecar: its packed row indices point into the
+    # OLD store, so a rebuild would serve old-embedding rankings (or
+    # IndexError through the new cap_ids list)
+    ivf_dir = os.path.join(out_dir, "ivf")
+    if os.path.isdir(ivf_dir):
+        import shutil
+        shutil.rmtree(ivf_dir)
     # cap_ids contain '#' (the caption-id grammar), so the index store uses
     # a tab-delimited id.txt -- same BigFile layout otherwise
     with BigFileWriter(out_dir, ndims=cfg.common_embedding_size,
@@ -269,6 +276,7 @@ class PostIndex:
         self._posts_inv = None
         self._query_cache = {}
         self._ivf = None
+        self._ivf_stale = ""
         if device_resident:
             self.posts()
 
@@ -284,13 +292,34 @@ class PostIndex:
         self._posts = None
         self._posts_inv = None
         self._query_cache = {}
-        self._ivf = None   # appends invalidate the ANN sidecar layout
+        # appends invalidate the ANN sidecar layout; the next ivf() call
+        # re-reads ivf_meta.json and flags the row-count mismatch stale
+        self._ivf = None
+        self._ivf_stale = ""
 
     def ivf(self):
-        """Lazy-loaded IVF sidecar (build_ivf_sidecar), or None."""
+        """Lazy-loaded IVF sidecar (build_ivf_sidecar), or None.
+
+        The sidecar's packed row indices point into the store it was
+        built from; serving it against a store with a different row
+        count (append_to_index, or an out-of-band rebuild) would return
+        wrong cap_ids or IndexError. ivf_meta.json records source_posts
+        at build time -- a mismatch marks the sidecar stale and the ANN
+        path refuses until `fancyrec-index ivf-build` reruns."""
         if self._ivf is None:
+            self._ivf_stale = ""
             ivf_dir = os.path.join(self._index_dir, "ivf")
-            if os.path.exists(os.path.join(ivf_dir, "ivf_meta.json")):
+            meta_path = os.path.join(ivf_dir, "ivf_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    src = json.loads(f.read()).get("source_posts", -1)
+                if src != self.n_posts:
+                    self._ivf_stale = (
+                        "IVF sidecar is stale: built over %s posts, store "
+                        "now has %d -- rerun `fancyrec-index ivf-build %s`"
+                        % (src if src >= 0 else "unknown", self.n_posts,
+                           self._index_dir))
+                    return None
                 from fancyrec_tpu.serving.ivf import IVFIndex
                 self._ivf = IVFIndex.load(ivf_dir)
         return self._ivf
@@ -399,8 +428,10 @@ class PostIndex:
             ivf = self.ivf()
             if ivf is None:
                 raise ValueError(
-                    "nprobe given but no IVF sidecar: run "
-                    "`fancyrec-index ivf-build %s` first" % self._index_dir)
+                    self._ivf_stale
+                    or "nprobe given but no IVF sidecar: run "
+                       "`fancyrec-index ivf-build %s` first"
+                       % self._index_dir)
             vals, idxs = ivf.query(q_np, k=k, nprobe=nprobe)
             names = [[self.cap_ids[i] if i >= 0 else None for i in row]
                      for row in idxs]
@@ -430,6 +461,15 @@ def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
                          quantize=quantize)
     out = os.path.join(index_dir, "ivf")
     ivf.save(out)
+    # stamp the store size the sidecar was built from: PostIndex.ivf()
+    # refuses to serve a sidecar whose row-index space no longer matches
+    # the store (appends / rebuilds)
+    meta_path = os.path.join(out, "ivf_meta.json")
+    with open(meta_path) as f:
+        meta = json.loads(f.read())
+    meta["source_posts"] = store.nr_of_rows
+    with open(meta_path, "w") as f:
+        f.write(json.dumps(meta))
     return {"nlist": int(ivf.nlist), "cap": int(ivf.cap),
             "posts": store.nr_of_rows, "out": out}
 

@@ -42,6 +42,15 @@ def _l2n(x, axis=-1):
     return x / np.maximum(np.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
 
 
+def _positive_k(body: dict, default: int = 10) -> int:
+    """Validate the request's k: a negative k would silently slice from
+    the wrong end (np negative indexing) and k=0 crashes lax.top_k."""
+    k = body.get("k", default)
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer, got %r" % (k,))
+    return k
+
+
 class FancyRecService:
     """The transport-free serving core (used directly by tests/embeds)."""
 
@@ -78,12 +87,14 @@ class FancyRecService:
         if not isinstance(brand_ids, list) or not brand_ids:
             raise ValueError("brand_ids: non-empty list required")
         n_brands = self.index.brand_embs.shape[0]
+        # JSON booleans are ints in Python -- reject them explicitly
         bad = [b for b in brand_ids
-               if not isinstance(b, int) or not 0 <= b < n_brands]
+               if isinstance(b, bool) or not isinstance(b, int)
+               or not 0 <= b < n_brands]
         if bad:
             raise ValueError("brand_ids out of range [0, %d): %s"
                              % (n_brands, bad))
-        k = int(body.get("k", 10))
+        k = _positive_k(body)
         nprobe = int(body.get("nprobe", self.default_nprobe))
         with self._lock:
             vals, names = self.index.query(brand_ids, k=k, nprobe=nprobe)
@@ -111,7 +122,7 @@ class FancyRecService:
     def recommend(self, body: dict) -> dict:
         """Top-k brands for NEW posts: the product direction (which brands
         should this content be recommended to)."""
-        k = int(body.get("k", 5))
+        k = _positive_k(body, default=5)
         embs = self._encode(body)
         brands = _l2n(self.index.brand_embs.astype(np.float32))
         scores = _l2n(embs) @ brands.T               # (B_posts, n_brands)

@@ -245,6 +245,26 @@ def main(argv=None):
     # bin/instance.sh on a v5e-8 trains 8-way data-parallel by default.
     initialize_multihost()
     mesh = build_mesh(cfg.mesh_shape)
+    # batch/data-axis divisibility: an explicit --mesh_shape is rejected
+    # in config.finalize; the DEFAULT mesh (data axis = device count,
+    # unknown at finalize) is handled here. Single host: shrink the data
+    # axis to gcd(batch, devices) -- full efficiency on fewer devices
+    # beats silent replication (the user never asked for this mesh).
+    # Multi-host: hard error (idling another host's devices behind the
+    # user's back is not a call this layer should make).
+    if not cfg.mesh_shape:
+        ndata = int(mesh.devices.shape[0])
+        if ndata > 1 and cfg.batch_size % ndata:
+            from fancyrec_tpu.parallel.mesh import require_divisible_batch
+            if jax.process_count() > 1:
+                require_divisible_batch(mesh, cfg.batch_size)
+            import math
+            use = math.gcd(cfg.batch_size, ndata)
+            print("note: --batch_size %d does not divide the %d-device "
+                  "default mesh; training data-parallel over %d device(s) "
+                  "(pass --mesh_shape to override)"
+                  % (cfg.batch_size, ndata, use))
+            mesh = build_mesh("%d,1" % use)
     if mesh.devices.size > 1:
         print("mesh: %s (%d devices, %d processes)"
               % (dict(zip(mesh.axis_names, mesh.devices.shape)),

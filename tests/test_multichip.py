@@ -205,6 +205,24 @@ def test_shard_batch_warns_once_on_replication():
                            "s": np.float32(1.0)})
 
 
+def test_require_divisible_batch_guards_default_mesh():
+    """The DEFAULT mesh (mesh_shape "", data axis = all devices) bypasses
+    config.finalize's explicit-shape check. Single-host trainers shrink
+    the data axis to gcd(batch, devices) with a notice (exercised end to
+    end by test_serving's batch-4 training run on the 8-device mesh);
+    multi-host trainers call this helper, which must hard-error rather
+    than silently idle another host's devices."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh, require_divisible_batch
+
+    m = build_mesh("")      # all 8 devices on 'data' -- the trainer default
+    with pytest.raises(ValueError, match="not divisible by the data mesh"):
+        require_divisible_batch(m, 12)
+    require_divisible_batch(m, 16)          # divisible: fine
+    require_divisible_batch(build_mesh("1,8"), 12)   # data axis 1: fine
+
+
 def test_sharded_metrics_kernel_exact_vs_oracle():
     """ranking_metrics_sharded == numpy oracle on every metric, including
     exact score ties, an empty brand, and -1 pad posts; the (B, N) matrix

@@ -119,6 +119,19 @@ def test_error_paths(served):
     assert status == 400 and "brand_ids" in data["error"]
     status, data = _req(port, "POST", "/v1/topk", {"brand_ids": [99]})
     assert status == 400 and "out of range" in data["error"]
+    # JSON booleans must not pass as brand ids (bool is an int subtype)
+    status, data = _req(port, "POST", "/v1/topk", {"brand_ids": [True]})
+    assert status == 400 and "out of range" in data["error"]
+    # k < 1 would slice from the wrong end (negative indexing) or crash
+    # lax.top_k -- both /v1/topk and /v1/recommend reject it up front
+    status, data = _req(port, "POST", "/v1/topk",
+                        {"brand_ids": [0], "k": -1})
+    assert status == 400 and "positive integer" in data["error"]
+    status, data = _req(port, "POST", "/v1/topk",
+                        {"brand_ids": [0], "k": 0})
+    assert status == 400 and "positive integer" in data["error"]
+    status, data = _req(port, "POST", "/v1/recommend", {"k": -1})
+    assert status == 400 and "positive integer" in data["error"]
     status, data = _req(port, "POST", "/v1/add", {"cap_ids": ["a"],
                         "embeddings": [[0.0] * 3], "brands": [0]})
     assert status == 400

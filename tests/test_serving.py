@@ -317,6 +317,76 @@ def test_ivf_sidecar_build_and_query(tmp_path, capsys):
         PostIndex(bare, device_resident=False).query([0], k=3, nprobe=2)
 
 
+def test_ivf_sidecar_staleness_guard(tmp_path):
+    """The ANN sidecar's packed row indices point into the store it was
+    built from: appending posts (or rebuilding the index) must make the
+    nprobe path refuse with a rebuild hint, never silently serve stale
+    rankings -- and the exact path must keep working throughout."""
+    import pytest
+    from fancyrec_tpu.serving.index import append_to_index, build_ivf_sidecar
+
+    idx_dir = str(tmp_path / "toy")
+    _toy_index(idx_dir, n_posts=120, dim=16)
+    build_ivf_sidecar(idx_dir, nlist=4, iters=3)
+
+    index = PostIndex(idx_dir, device_resident=False)
+    index.query([0], k=3, nprobe=2)     # sidecar valid: works
+
+    rng = np.random.RandomState(9)
+    append_to_index(idx_dir, ["late0#enc#0"],
+                    rng.randn(1, 16).astype(np.float32), [0])
+    index.refresh()
+    with pytest.raises(ValueError, match="stale"):
+        index.query([0], k=3, nprobe=2)
+    index.query([0], k=3)               # exact path unaffected
+    # a fresh PostIndex over the same dir must detect it too (the check
+    # is against on-disk metadata, not in-memory state)
+    with pytest.raises(ValueError, match="stale"):
+        PostIndex(idx_dir, device_resident=False).query([0], k=3, nprobe=2)
+
+    # rebuilding the sidecar clears the staleness
+    build_ivf_sidecar(idx_dir, nlist=4, iters=3)
+    index.refresh()
+    v, names = index.query([0], k=3, nprobe=4)
+    assert all(n is not None for n in names[0])
+
+
+def test_rebuild_removes_ivf_sidecar(tmp_path, monkeypatch):
+    """build_index over an existing dir deletes the IVF sidecar: its row
+    indices would address the OLD store's rows. Checkpoint load + encode
+    are stubbed; the full write path (the part under test) runs."""
+    import types
+
+    import fancyrec_tpu.eval.evaluator as evaluator_mod
+    import fancyrec_tpu.train.checkpoints as ckpt_mod
+    from fancyrec_tpu.serving import index as index_mod
+    from fancyrec_tpu.serving.index import build_ivf_sidecar
+
+    idx_dir = str(tmp_path / "toy")
+    _toy_index(idx_dir, n_posts=60, dim=16)
+    build_ivf_sidecar(idx_dir, nlist=4, iters=3)
+    assert os.path.isdir(os.path.join(idx_dir, "ivf"))
+
+    rng = np.random.RandomState(3)
+    cfg = types.SimpleNamespace(common_embedding_size=16, brand_num=4)
+    new_embs = rng.randn(24, 16).astype(np.float32)
+
+    monkeypatch.setattr(ckpt_mod, "load_any", lambda p: {"stub": True})
+    monkeypatch.setattr(
+        index_mod, "_encode_collection",
+        lambda *a, **k: (["re%d#enc#0" % i for i in range(24)],
+                         rng.randint(0, 4, 24), new_embs, cfg, None, None))
+    monkeypatch.setattr(evaluator_mod, "brand_embeddings",
+                        lambda model, params, n: rng.randn(n, 16))
+
+    n = index_mod.build_index("stub.ckpt", "root", "coll", idx_dir)
+    assert n == 24
+    assert not os.path.exists(os.path.join(idx_dir, "ivf"))
+    # the rebuilt index serves the NEW rows on the exact path
+    fresh = PostIndex(idx_dir, device_resident=False)
+    assert fresh.n_posts == 24 and fresh.cap_ids[0] == "re0#enc#0"
+
+
 def test_append_writes_gated_to_primary(tmp_path, monkeypatch):
     """On a pod every process computes the append (collective encode) but
     only the primary may touch the shared filesystem -- a non-primary

@@ -65,12 +65,15 @@ def main():
                        "--length_grouped", "1"]
     if rbg:
         mode_flags += ["--rng_impl", "rbg"]
-    postfix = ("recipe_tpu_bucketed" if bucketed
-               else "recipe_tpu_rbg" if rbg
-               else "recipe_tpu_fast" if fast else "recipe_tpu")
-    mode_name = ("bucketed_b64_bf16" if bucketed
-                 else "fast_b64_bf16_rbg" if rbg
-                 else "fast_b64_bf16" if fast else "parity_b8x8")
+    # compose the mode label from the flags actually applied: `bucketed
+    # rbg` trains with BOTH flag sets and must not report (or overwrite
+    # the logdir of) the bucketed-only run
+    parts = (["fast"] if fast else ["parity"]) \
+        + (["bucketed"] if bucketed else []) + (["rbg"] if rbg else [])
+    postfix = "recipe_tpu" + "".join(
+        "_" + p for p in parts if p != "parity")
+    mode_name = "_".join(parts).replace(
+        "fast", "fast_b64_bf16", 1) if fast else "parity_b8x8"
 
     t0 = time.time()
     best = trainer.main([
