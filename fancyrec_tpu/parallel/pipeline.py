@@ -74,6 +74,13 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
     n_micro = x.shape[0]
     dspec = data_axis if (data_axis and axis_sizes.get(data_axis, 1) > 1) \
         else None
+    if dspec and x.shape[1] % axis_sizes[dspec]:
+        # fail with a clear precondition error, not a GSPMD sharding
+        # error from deep inside shard_map
+        raise ValueError(
+            "microbatch size %d not divisible by the %d-wide %r axis "
+            "(use fewer microbatches or data_axis=None)"
+            % (x.shape[1], axis_sizes[dspec], dspec))
 
     def kernel(params_l, x_l, aux_l):
         s = lax.axis_index(axis)
@@ -143,6 +150,16 @@ def bert_pipeline_forward(params: dict, cfg, input_ids, token_type_ids,
     embeddings + layer_i subtrees) unchanged, so any trained checkpoint
     runs pipelined without conversion. Embeddings + final masking math
     stay replicated (they are negligible next to the layer stack).
+
+    Precision contract: in f32 compute this matches the sequential
+    encoder to reduction-reassociation noise (pinned ~1e-6 in
+    tests/test_pipeline.py). In bfloat16 compute the pipelined residual
+    stream is uniformly bf16 between layers (the scan carry needs one
+    dtype), whereas the sequential encoder carries each flax LayerNorm's
+    f32 output into the next residual add -- a standard mixed-precision
+    layout difference, but NOT bit-equivalent: expect bf16-rounding-level
+    divergence (~1e-2 worst case over deep stacks; bounded in the bf16
+    test). Use f32 when cross-checking a checkpoint's sequential outputs.
     """
     from flax import linen as nn
     from fancyrec_tpu.models.bert import BertLayer

@@ -51,6 +51,17 @@ def _positive_k(body: dict, default: int = 10) -> int:
     return k
 
 
+def _nonneg_int(body: dict, field: str, default: int) -> int:
+    """Validate an optional non-negative integer field (e.g. nprobe: 0 =
+    exact path). Booleans and non-ints must 400, not 500 or silently
+    route to the ANN path (true == 1)."""
+    v = body.get(field, default)
+    if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+        raise ValueError("%s must be a non-negative integer, got %r"
+                         % (field, v))
+    return v
+
+
 class FancyRecService:
     """The transport-free serving core (used directly by tests/embeds)."""
 
@@ -95,7 +106,7 @@ class FancyRecService:
             raise ValueError("brand_ids out of range [0, %d): %s"
                              % (n_brands, bad))
         k = _positive_k(body)
-        nprobe = int(body.get("nprobe", self.default_nprobe))
+        nprobe = _nonneg_int(body, "nprobe", self.default_nprobe)
         with self._lock:
             vals, names = self.index.query(brand_ids, k=k, nprobe=nprobe)
         return {"results": [

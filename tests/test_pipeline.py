@@ -119,3 +119,36 @@ def test_bert_pipeline_matches_sequential_encoder():
     with pytest.raises(ValueError, match="not divisible into"):
         bert_pipeline_forward(params, cfg, ids, types, mask, mesh=mesh,
                               axis="model", n_micro=3)
+    # microbatch size that cannot shard over 'data' must fail with the
+    # module's own precondition error, not a GSPMD error from shard_map
+    with pytest.raises(ValueError, match="microbatch size"):
+        bert_pipeline_forward(params, cfg, ids[:4], types[:4], mask[:4],
+                              mesh=mesh, axis="model")
+
+
+def test_bert_pipeline_bf16_bounded_divergence():
+    """bf16 compute: the pipelined residual stream is uniformly bf16
+    between layers while the sequential encoder carries f32 LayerNorm
+    outputs -- NOT bit-equivalent by design (docstring contract). Pin
+    that the divergence stays at bf16 rounding level."""
+    from fancyrec_tpu.models.bert import BertConfig, BertEncoder
+
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=4,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64, compute_dtype="bfloat16")
+    enc = BertEncoder(cfg)
+    rng = np.random.RandomState(4)
+    b, t = 8, 12
+    ids = jnp.asarray(rng.randint(0, 120, (b, t)), jnp.int32)
+    types = jnp.zeros((b, t), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    params = enc.init(jax.random.PRNGKey(1), ids, types, mask)["params"]
+    ref = np.asarray(enc.apply({"params": params}, ids, types, mask,
+                               deterministic=True), np.float32)
+    mesh = build_mesh("2,4")
+    out = np.asarray(jax.jit(lambda p: bert_pipeline_forward(
+        p, cfg, ids, types, mask, mesh=mesh, axis="model"))(params),
+        np.float32)
+    delta = np.abs(out - ref).max()
+    assert delta < 0.1, delta       # bf16 rounding, not a wrong program
+    assert delta == delta           # finite

@@ -132,6 +132,14 @@ def test_error_paths(served):
     assert status == 400 and "positive integer" in data["error"]
     status, data = _req(port, "POST", "/v1/recommend", {"k": -1})
     assert status == 400 and "positive integer" in data["error"]
+    # nprobe shares the bug class: null must 400 (not 500), and a JSON
+    # boolean must not silently route to the ANN path (true == 1)
+    status, data = _req(port, "POST", "/v1/topk",
+                        {"brand_ids": [0], "nprobe": None})
+    assert status == 400 and "nprobe" in data["error"]
+    status, data = _req(port, "POST", "/v1/topk",
+                        {"brand_ids": [0], "nprobe": True})
+    assert status == 400 and "nprobe" in data["error"]
     status, data = _req(port, "POST", "/v1/add", {"cap_ids": ["a"],
                         "embeddings": [[0.0] * 3], "brands": [0]})
     assert status == 400

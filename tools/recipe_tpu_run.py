@@ -65,15 +65,20 @@ def main():
                        "--length_grouped", "1"]
     if rbg:
         mode_flags += ["--rng_impl", "rbg"]
-    # compose the mode label from the flags actually applied: `bucketed
-    # rbg` trains with BOTH flag sets and must not report (or overwrite
-    # the logdir of) the bucketed-only run
-    parts = (["fast"] if fast else ["parity"]) \
-        + (["bucketed"] if bucketed else []) + (["rbg"] if rbg else [])
-    postfix = "recipe_tpu" + "".join(
-        "_" + p for p in parts if p != "parity")
-    mode_name = "_".join(parts).replace(
-        "fast", "fast_b64_bf16", 1) if fast else "parity_b8x8"
+    # mode label = the flags actually applied. Single-flag modes keep
+    # their historical names (logdirs and printed JSON lines from prior
+    # rounds stay comparable); only the combined `bucketed rbg` run gets
+    # a composed name instead of mislabeling itself as bucketed-only.
+    if bucketed and rbg:
+        postfix, mode_name = "recipe_tpu_bucketed_rbg", "bucketed_b64_bf16_rbg"
+    elif bucketed:
+        postfix, mode_name = "recipe_tpu_bucketed", "bucketed_b64_bf16"
+    elif rbg:
+        postfix, mode_name = "recipe_tpu_rbg", "fast_b64_bf16_rbg"
+    elif fast:
+        postfix, mode_name = "recipe_tpu_fast", "fast_b64_bf16"
+    else:
+        postfix, mode_name = "recipe_tpu", "parity_b8x8"
 
     t0 = time.time()
     best = trainer.main([
