@@ -7,6 +7,9 @@ optionally, a StableHLO artifact dir (serving/export.py -- no model code)
 and answers JSON queries:
 
   GET  /healthz                     liveness + index/artifact summary
+  GET  /metrics                     per-route request counts, error
+                                     counts, and latency percentiles
+                                     (p50/p90/p99 over a sliding window)
   POST /v1/topk      {"brand_ids": [0,3], "k": 10, "nprobe": 0}
                        -> top-k posts per brand (nprobe>0 = IVF ANN path)
   POST /v1/encode    {"frames": [...], "origin": [...], ...}
@@ -32,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -62,6 +66,50 @@ def _nonneg_int(body: dict, field: str, default: int) -> int:
     return v
 
 
+class _RouteStats:
+    """Per-route request observability: counts + a sliding latency window
+    (bounded memory regardless of uptime). Separate lock from the device
+    lock -- recording a sample must never queue behind a long query."""
+
+    WINDOW = 1024
+
+    def __init__(self):
+        import collections
+        self._lock = threading.Lock()
+        self._lat = collections.defaultdict(
+            lambda: collections.deque(maxlen=self.WINDOW))
+        self._count = collections.Counter()
+        self._errors = collections.Counter()
+        self._started = time.time()
+
+    def record(self, route: str, seconds: float, error: bool) -> None:
+        with self._lock:
+            self._count[route] += 1
+            if error:
+                self._errors[route] += 1
+            else:
+                # error latencies would skew percentiles low (validation
+                # rejects return in microseconds)
+                self._lat[route].append(seconds)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            routes = {}
+            for route in sorted(self._count):
+                lat = sorted(self._lat[route])
+                entry = {"count": int(self._count[route]),
+                         "errors": int(self._errors[route])}
+                if lat:
+                    q = lambda p: round(
+                        lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 3)
+                    entry.update({"p50_ms": q(0.50), "p90_ms": q(0.90),
+                                  "p99_ms": q(0.99),
+                                  "window": len(lat)})
+                routes[route] = entry
+            return {"uptime_s": round(time.time() - self._started, 1),
+                    "routes": routes}
+
+
 class FancyRecService:
     """The transport-free serving core (used directly by tests/embeds)."""
 
@@ -75,6 +123,7 @@ class FancyRecService:
                                quantize=quantize)
         self._index_dir = index_dir
         self.default_nprobe = default_nprobe
+        self.stats = _RouteStats()
         self.model = None
         if artifact_dir:
             from fancyrec_tpu.serving.export import ExportedModel
@@ -187,6 +236,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             return self._reply(200, self.service.healthz())
+        if self.path == "/metrics":
+            return self._reply(200, self.service.stats.snapshot())
         return self._reply(404, {"error": "not found: %s" % self.path})
 
     def do_POST(self):
@@ -200,13 +251,18 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("request body must be a JSON object")
         except (ValueError, json.JSONDecodeError) as e:
             return self._reply(400, {"error": "bad request: %s" % e})
+        t0 = time.monotonic()
         try:
-            return self._reply(200, fn(self.service, body))
+            payload = fn(self.service, body)
         except (ValueError, KeyError) as e:
+            self.service.stats.record(self.path, time.monotonic() - t0, True)
             return self._reply(400, {"error": str(e)})
         except Exception as e:    # noqa: BLE001 -- surface, don't hang
+            self.service.stats.record(self.path, time.monotonic() - t0, True)
             return self._reply(500, {"error": "%s: %s"
                                      % (type(e).__name__, e)})
+        self.service.stats.record(self.path, time.monotonic() - t0, False)
+        return self._reply(200, payload)
 
 
 def make_server(service: FancyRecService, host: str = "127.0.0.1",

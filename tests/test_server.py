@@ -149,6 +149,26 @@ def test_error_paths(served):
     assert status == 400 and "missing encode inputs" in data["error"]
 
 
+def test_metrics_endpoint(served):
+    """GET /metrics: per-route counts, error counts, and latency
+    percentiles over a sliding window -- after known-good and known-bad
+    requests the numbers must line up."""
+    port = served["port"]
+    before = _req(port, "GET", "/metrics")[1]["routes"].get(
+        "/v1/topk", {"count": 0, "errors": 0})
+    _req(port, "POST", "/v1/topk", {"brand_ids": [0], "k": 2})
+    _req(port, "POST", "/v1/topk", {"brand_ids": [0], "k": 2})
+    _req(port, "POST", "/v1/topk", {"brand_ids": [], "k": 2})   # 400
+    status, data = _req(port, "GET", "/metrics")
+    assert status == 200 and data["uptime_s"] >= 0
+    topk = data["routes"]["/v1/topk"]
+    assert topk["count"] == before["count"] + 3
+    assert topk["errors"] == before["errors"] + 1
+    # percentiles exist and come from successful requests only
+    assert topk["window"] >= 2
+    assert 0 <= topk["p50_ms"] <= topk["p99_ms"]
+
+
 def test_service_without_artifact(tmp_path):
     idx_dir = str(tmp_path / "index")
     _toy_index(idx_dir, n_posts=10, dim=8, brand_num=2, seed=1)
