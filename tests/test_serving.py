@@ -58,6 +58,40 @@ def test_build_and_query_index(tmp_path, capsys):
     recs = [json.loads(line) for line in out]
     assert recs[0]["brand"] == 0 and len(recs[0]["results"]) == 3
 
+    # bucketed builds: a checkpoint carrying train-time bucket config
+    # routes the index encode through length-sorted loading + bucketed
+    # dynamic padding (the tester wiring) -- rows land in the same
+    # cap_id order (idxs scatter). Tolerance note, attributed by
+    # bisection: bucket SLICING is ~5e-7 (reduction reassociation), but
+    # changing the batch COMPOSITION alone (sort, identical static
+    # shapes) moves trained-model outputs ~1.2e-4 -- the reference's own
+    # semantics (its convs run over the zero-pad region up to the BATCH
+    # max length, reference model.py:177-181 / data_provider.py:32-44,
+    # so per-post embeddings depend on what shares the batch; replicated
+    # for parity, models/encoders.py docstring). Zero-bias random init
+    # shows exact equality, confirming the conv-bias mechanism.
+    from fancyrec_tpu.io.bigfile import BigFileReader
+    from fancyrec_tpu.train import checkpoints
+
+    loaded = checkpoints.load_checkpoint(ckpt)
+    bcfg = loaded["config"]
+    bcfg.token_buckets, bcfg.frame_buckets = "4", "2"
+    bcfg.length_grouped = True
+    bcfg.finalize()
+    bucket_ckpt = os.path.join(root, "model", "srv_run", "bucketed.pth.tar")
+    checkpoints.save_checkpoint(
+        bucket_ckpt, bcfg, loaded["model"]["params"],
+        loaded["model"].get("batch_stats", {}), loaded["epoch"],
+        loaded["best_rsum"], loaded["Eiters"])
+    idx_bucketed = str(tmp_path / "index_bucketed")
+    assert build_index(bucket_ckpt, root, "insCartest", idx_bucketed,
+                       batch_size=4) == 24
+    a = BigFileReader(idx_dir, delimiter="\t")
+    b = BigFileReader(idx_bucketed, delimiter="\t")
+    assert a.names == b.names
+    np.testing.assert_allclose(a.read_rows(np.arange(24)),
+                               b.read_rows(np.arange(24)), atol=1e-3)
+
 
 def _toy_index(idx_dir, n_posts=100, dim=16, brand_num=4, seed=0):
     """Write a synthetic PostIndex directory (no training needed)."""
