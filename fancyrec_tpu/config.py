@@ -127,6 +127,9 @@ class Config:
     bert_weights: str = ""          # optional HF/torch BERT weight file to load
     validate_split: str = "test"    # reference validates on the *test* loader (trainer.py:283-288)
     auto_resume: bool = False       # resume from the latest epoch checkpoint after a crash
+    keep_checkpoints: int = 0       # keep only the newest N epoch checkpoints
+                                    # (0 = keep all, the reference's behavior;
+                                    # model_best.pth.tar is never pruned)
     seq_shard: bool = False         # sequence-parallel time-axis sharding over 'model'
     profile_dir: str = ""           # capture an XLA profiler trace of epoch 1 into this dir
     token_buckets: str = ""         # e.g. "32,64,96" -- pad the token axis to the
@@ -358,6 +361,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--bert_weights", type=str, default=d.bert_weights)
     p.add_argument("--validate_split", type=str, default=d.validate_split)
     p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
     p.add_argument("--seq_shard", action="store_true")
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     return p

@@ -93,6 +93,27 @@ def load_checkpoint(path: str, template=None) -> Dict[str, Any]:
     return out
 
 
+def prune_old_checkpoints(state_dir: str, keep: int) -> None:
+    """Delete all but the newest `keep` epoch checkpoint files (by epoch
+    number). keep <= 0 keeps everything -- the reference's behavior
+    (one ~1.3 GB file per improving epoch at recipe scale adds up fast).
+    model_best.pth.tar is a COPY, never pruned, and auto_resume's
+    latest-epoch scan only ever needs the newest file."""
+    import re
+    if keep <= 0 or not os.path.isdir(state_dir):
+        return
+    epochs = []
+    for f in os.listdir(state_dir):
+        m = re.match(r"checkpoint_epoch_(\d+)\.pth\.tar$", f)
+        if m:
+            epochs.append((int(m.group(1)), f))
+    for _, f in sorted(epochs)[:-keep]:
+        try:
+            os.remove(os.path.join(state_dir, f))
+        except OSError:
+            pass
+
+
 def maybe_save_best(state_dir: str, cfg: Config, params, batch_stats,
                     epoch: int, score: float, best_rsum: float,
                     eiters: int, best_epoch: Optional[int],
@@ -114,6 +135,7 @@ def maybe_save_best(state_dir: str, cfg: Config, params, batch_stats,
                         extra_meta=extra_meta)
     if score > best_rsum:
         shutil.copyfile(filename, os.path.join(state_dir, "model_best.pth.tar"))
+    prune_old_checkpoints(state_dir, getattr(cfg, "keep_checkpoints", 0))
     return new_best
 
 

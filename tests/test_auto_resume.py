@@ -74,3 +74,46 @@ def test_checkpoint_records_running_best_not_epoch_score(tmp_path):
         os.path.join(d, "checkpoint_epoch_7.pth.tar"))
     assert ck["best_rsum"] == 10.0
     assert ck["no_impr"] == 4 and ck["lr_counter"] == 1
+
+
+def test_keep_checkpoints_retention(tmp_path):
+    """--keep_checkpoints N prunes all but the newest N epoch files;
+    model_best.pth.tar survives, and the default (0) keeps everything
+    (the reference's behavior)."""
+    import numpy as np
+    from fancyrec_tpu.config import Config
+    from fancyrec_tpu.train import checkpoints
+
+    cfg = Config(brand_num=2, brand_aspect=4, common_embedding_size=8,
+                 visual_feat_dim=8, bow_vocab_size=8, vocab_size=16,
+                 text_net="bi-gru", visual_rnn_size=4, text_rnn_size=4,
+                 visual_kernel_num=2, text_kernel_num=2,
+                 text_mapping_size=8, visual_mapping_size=8,
+                 keep_checkpoints=2).finalize()
+    params = {"w": np.zeros(3, np.float32)}
+    d = str(tmp_path)
+
+    best = 0.0
+    for epoch, score in enumerate([5.0, 6.0, 7.0, 8.0]):
+        best = checkpoints.maybe_save_best(
+            d, cfg, params, {}, epoch=epoch, score=score, best_rsum=best,
+            eiters=epoch, best_epoch=None if epoch == 0 else epoch - 1)
+    files = sorted(f for f in os.listdir(d) if f.startswith("checkpoint_"))
+    assert files == ["checkpoint_epoch_2.pth.tar",
+                     "checkpoint_epoch_3.pth.tar"]
+    assert os.path.exists(os.path.join(d, "model_best.pth.tar"))
+    # the best copy survives pruning of its source epoch file
+    ck = checkpoints.load_checkpoint(os.path.join(d, "model_best.pth.tar"))
+    assert ck["best_rsum"] == 8.0
+    # auto_resume's latest-epoch scan still finds the newest file
+    from fancyrec_tpu.train.trainer import _latest_epoch_checkpoint
+    epoch, path = _latest_epoch_checkpoint(d)
+    assert epoch == 3 and path.endswith("checkpoint_epoch_3.pth.tar")
+
+    # keep=0 (default): nothing pruned
+    cfg.keep_checkpoints = 0
+    best = checkpoints.maybe_save_best(
+        d, cfg, params, {}, epoch=9, score=9.0, best_rsum=best,
+        eiters=9, best_epoch=3)
+    files = [f for f in os.listdir(d) if f.startswith("checkpoint_")]
+    assert len(files) == 3
