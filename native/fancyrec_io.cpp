@@ -19,7 +19,9 @@
 #include <cerrno>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <mutex>
+#include <shared_mutex>
 #include <thread>
 #include <vector>
 
@@ -31,6 +33,12 @@
 namespace {
 
 struct Store {
+  // mu makes close safe against in-flight gathers: ctypes releases the
+  // GIL around foreign calls, so a prefetch-thread gather can overlap a
+  // main-thread close -- without the reader lock that is a
+  // use-after-munmap. Readers (gather/prefetch) take mu shared; close
+  // takes it exclusive, so it waits for running gathers to drain.
+  std::shared_mutex mu;
   const float* base = nullptr;
   size_t bytes = 0;
   int64_t rows = 0;
@@ -40,8 +48,17 @@ struct Store {
 };
 
 std::mutex g_mu;
-std::vector<Store> g_stores;
+// unique_ptr: Store addresses must stay stable across vector growth
+// (readers hold pointers outside g_mu) and shared_mutex is immovable
+std::vector<std::unique_ptr<Store>> g_stores;
 long g_page = sysconf(_SC_PAGESIZE);
+
+Store* store_for(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size()))
+    return nullptr;
+  return g_stores[handle].get();
+}
 
 int hw_threads() {
   unsigned n = std::thread::hardware_concurrency();
@@ -53,6 +70,10 @@ int hw_threads() {
 extern "C" {
 
 int64_t frio_open(const char* path, int64_t rows, int64_t dim) {
+  if (rows <= 0 || dim <= 0 ||
+      static_cast<uint64_t>(rows) >
+          SIZE_MAX / sizeof(float) / static_cast<uint64_t>(dim))
+    return -EINVAL;
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return -errno;
   struct stat st;
@@ -73,28 +94,38 @@ int64_t frio_open(const char* path, int64_t rows, int64_t dim) {
     return -e;
   }
   madvise(p, need, MADV_RANDOM);
-  Store s;
+  std::lock_guard<std::mutex> lk(g_mu);
+  int64_t slot = -1;
+  for (size_t i = 0; i < g_stores.size(); ++i) {
+    // reuse closed slots; taking the store's exclusive lock here is
+    // cheap (no readers can hold a closed store's lock across calls)
+    std::unique_lock<std::shared_mutex> su(g_stores[i]->mu,
+                                           std::try_to_lock);
+    if (su.owns_lock() && !g_stores[i]->open) {
+      slot = static_cast<int64_t>(i);
+      break;
+    }
+  }
+  if (slot < 0) {
+    g_stores.emplace_back(new Store());
+    slot = static_cast<int64_t>(g_stores.size() - 1);
+  }
+  Store& s = *g_stores[slot];
+  std::unique_lock<std::shared_mutex> su(s.mu);
   s.base = static_cast<const float*>(p);
   s.bytes = need;
   s.rows = rows;
   s.dim = dim;
   s.fd = fd;
   s.open = true;
-  std::lock_guard<std::mutex> lk(g_mu);
-  for (size_t i = 0; i < g_stores.size(); ++i) {
-    if (!g_stores[i].open) {
-      g_stores[i] = s;
-      return static_cast<int64_t>(i);
-    }
-  }
-  g_stores.push_back(s);
-  return static_cast<int64_t>(g_stores.size() - 1);
+  return slot;
 }
 
 int frio_prefetch(int64_t handle, const int64_t* idx, int64_t n) {
-  std::lock_guard<std::mutex> lk(g_mu);
-  if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size())) return -1;
-  Store s = g_stores[handle];
+  Store* sp = store_for(handle);
+  if (!sp) return -1;
+  std::shared_lock<std::shared_mutex> rl(sp->mu);
+  const Store& s = *sp;
   if (!s.open) return -1;
   size_t row_bytes = s.dim * sizeof(float);
   for (int64_t i = 0; i < n; ++i) {
@@ -110,12 +141,12 @@ int frio_prefetch(int64_t handle, const int64_t* idx, int64_t n) {
 }
 
 int frio_gather(int64_t handle, const int64_t* idx, int64_t n, float* out) {
-  Store s;
-  {
-    std::lock_guard<std::mutex> lk(g_mu);
-    if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size())) return -1;
-    s = g_stores[handle];
-  }
+  Store* sp = store_for(handle);
+  if (!sp) return -1;
+  // shared (reader) lock held for the whole copy: frio_close's exclusive
+  // lock cannot munmap the mapping under our memcpys
+  std::shared_lock<std::shared_mutex> rl(sp->mu);
+  const Store& s = *sp;
   if (!s.open) return -1;
   for (int64_t i = 0; i < n; ++i) {
     if (idx[i] < 0 || idx[i] >= s.rows) return -1;
@@ -148,13 +179,14 @@ int frio_gather(int64_t handle, const int64_t* idx, int64_t n, float* out) {
 }
 
 int frio_close(int64_t handle) {
-  std::lock_guard<std::mutex> lk(g_mu);
-  if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size())) return -1;
-  Store& s = g_stores[handle];
-  if (!s.open) return -1;
-  munmap(const_cast<float*>(s.base), s.bytes);
-  ::close(s.fd);
-  s.open = false;
+  Store* sp = store_for(handle);
+  if (!sp) return -1;
+  // exclusive lock: drains in-flight gathers/prefetches before unmapping
+  std::unique_lock<std::shared_mutex> wl(sp->mu);
+  if (!sp->open) return -1;
+  munmap(const_cast<float*>(sp->base), sp->bytes);
+  ::close(sp->fd);
+  sp->open = false;
   return 0;
 }
 

@@ -58,3 +58,33 @@ def test_large_gather_multithreaded_path(store):
     out = g.gather(idx)  # n >= 64 engages the thread pool
     np.testing.assert_array_equal(out, mat[idx])
     g.close()
+
+
+def test_concurrent_close_does_not_corrupt_gathers(store):
+    """ctypes releases the GIL around foreign calls, so a prefetch-thread
+    gather can overlap a main-thread close. The per-store reader/writer
+    lock must make every gather either fully valid data or a clean error
+    -- never a use-after-munmap (crash) or a torn copy."""
+    import threading
+
+    d, mat = store
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    idx = np.random.RandomState(3).randint(0, 500, 2000).astype(np.int64)
+    expected = mat[idx]
+    for _ in range(5):
+        g = native.NativeGather(d + "/feature.bin", 500, 64)
+        results = []
+
+        def reader():
+            try:
+                results.append(np.array_equal(g.gather(idx), expected))
+            except (IndexError, OSError, RuntimeError):
+                results.append(True)    # clean error after close: fine
+        threads = [threading.Thread(target=reader) for _ in range(3)]
+        for t in threads:
+            t.start()
+        g.close()                       # races the in-flight gathers
+        for t in threads:
+            t.join()
+        assert all(results), "torn gather under concurrent close"
