@@ -28,6 +28,8 @@ threaded so /healthz stays responsive during a long query.
 
 CLI: fancyrec-serve INDEX_DIR [--artifact DIR] [--port 8080]
                     [--quantize int8] [--default_nprobe 0]
+                    [--mesh_shape auto]   (shard the resident posts over
+                    local devices for multi-chip serving)
 """
 
 from __future__ import annotations
@@ -115,12 +117,12 @@ class FancyRecService:
 
     def __init__(self, index_dir: str, artifact_dir: Optional[str] = None,
                  quantize: str = "", default_nprobe: int = 0,
-                 device_resident: bool = True):
+                 device_resident: bool = True, mesh=None):
         from fancyrec_tpu.serving.index import PostIndex
 
         self._lock = threading.Lock()          # serialize all device work
         self.index = PostIndex(index_dir, device_resident=device_resident,
-                               quantize=quantize)
+                               quantize=quantize, mesh=mesh)
         self._index_dir = index_dir
         self.default_nprobe = default_nprobe
         self.stats = _RouteStats()
@@ -286,10 +288,18 @@ def main(argv=None):
     p.add_argument("--default_nprobe", type=int, default=0,
                    help=">0 routes /v1/topk through the IVF sidecar "
                         "unless the request overrides nprobe")
+    p.add_argument("--mesh_shape", default="",
+                   help="'auto' = shard the device-resident posts over "
+                        "all local devices for multi-chip serving; "
+                        "'N' or 'N,1' explicit; '' = single device")
     a = p.parse_args(argv)
+    mesh = None
+    if a.mesh_shape:
+        from fancyrec_tpu.parallel.mesh import build_mesh
+        mesh = build_mesh("" if a.mesh_shape == "auto" else a.mesh_shape)
     service = FancyRecService(a.index_dir, artifact_dir=a.artifact or None,
                               quantize=a.quantize,
-                              default_nprobe=a.default_nprobe)
+                              default_nprobe=a.default_nprobe, mesh=mesh)
     server = make_server(service, a.host, a.port)
     print(json.dumps({"serving": "http://%s:%d" % server.server_address,
                       **service.healthz()}), flush=True)

@@ -169,6 +169,28 @@ def test_metrics_endpoint(served):
     assert 0 <= topk["p50_ms"] <= topk["p99_ms"]
 
 
+def test_service_on_device_mesh(tmp_path):
+    """--mesh_shape serving: a FancyRecService whose index shards the
+    resident posts over the local device mesh must answer /v1/topk
+    identically to the single-device service (pad rows masked)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+
+    idx_dir = str(tmp_path / "index")
+    _toy_index(idx_dir, n_posts=37, dim=16, brand_num=3, seed=4)  # pads
+    plain = FancyRecService(idx_dir)
+    meshed = FancyRecService(idx_dir, mesh=build_mesh("8,1"))
+    body = {"brand_ids": [0, 1, 2], "k": 5}
+    a, b = plain.topk(body), meshed.topk(body)
+    for ra, rb in zip(a["results"], b["results"]):
+        assert [p["cap_id"] for p in ra["posts"]] == \
+               [p["cap_id"] for p in rb["posts"]]
+        for pa, pb in zip(ra["posts"], rb["posts"]):
+            assert abs(pa["score"] - pb["score"]) < 1e-5
+
+
 def test_service_without_artifact(tmp_path):
     idx_dir = str(tmp_path / "index")
     _toy_index(idx_dir, n_posts=10, dim=8, brand_num=2, seed=1)
