@@ -155,8 +155,16 @@ def main(argv=None):
     # replicated)
     import jax
     from fancyrec_tpu.parallel.mesh import build_mesh, process_batch_shard
+    ndev = len(jax.devices())
+    if opt.mesh_shape == "" and jax.process_count() == 1 \
+            and opt.batch_size % ndev:
+        # default mesh, non-dividing batch: encode on gcd(batch, devices)
+        # devices at full efficiency instead of replicating every batch
+        # (same policy as the trainer's default-mesh handling)
+        import math
+        ndev = math.gcd(opt.batch_size, ndev)
     mesh = build_mesh(opt.mesh_shape if opt.mesh_shape != ""
-                      else "%d,1" % len(jax.devices()))
+                      else "%d,1" % ndev)
     # on a pod each process gathers only its 1/P slice of every batch
     # (per-host feature IO scales with host count; see data/loader.py)
     pshard = process_batch_shard(mesh, opt.batch_size)
