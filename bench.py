@@ -286,17 +286,54 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
     per = n_posts // nc
     n_posts = nc * per
     centers = jax.random.normal(k1, (nc, dim), jnp.float32)
-    posts = (centers[:, None, :]
-             + 0.5 * jax.random.normal(k3, (nc, per, dim), jnp.float32)
-             ).reshape(n_posts, dim)
-    _ = np.asarray(posts[0, :1])     # force datagen outside the timed build
-    t0 = time.perf_counter()
-    ivf = IVFIndex.build(posts, nlist=nlist, iters=10, quantize="int8")
-    _ = np.asarray(ivf.packed_idx[0, :1])
-    build_s = time.perf_counter() - t0
+    if n_posts <= 1_000_000:
+        posts = (centers[:, None, :]
+                 + 0.5 * jax.random.normal(k3, (nc, per, dim), jnp.float32)
+                 ).reshape(n_posts, dim)
+        _ = np.asarray(posts[0, :1])  # force datagen outside the timed build
+        t0 = time.perf_counter()
+        ivf = IVFIndex.build(posts, nlist=nlist, iters=10, quantize="int8")
+        _ = np.asarray(ivf.packed_idx[0, :1])
+        build_s = time.perf_counter() - t0
+        q8, qinv = jax.jit(quantize_rows_int8)(posts)
+        del posts
+    else:
+        # beyond 1M the f32 corpus exceeds HBM (4M x 1024 = 16 GB):
+        # stream center-aligned chunks through the memory-lean
+        # build_chunked path (the same code fancyrec-index ivf-build
+        # uses) and assemble the exact-path int8 copy chunkwise too
+        from functools import partial
+        cpb = 64                                   # centers per chunk
+        chunk = per * cpb
 
-    q8, qinv = jax.jit(quantize_rows_int8)(posts)
-    del posts
+        def gen(lo, hi):
+            # noise keyed per CENTER, not per chunk: every caller grid
+            # (the k-means sample stride, the scatter chunks, the exact
+            # copy) must see the same corpus rows for the same indices
+            c0, c1 = lo // per, -(-hi // per)
+            noise = jax.vmap(lambda c: jax.random.normal(
+                jax.random.fold_in(k3, c), (per, dim), jnp.float32)
+            )(jnp.arange(c0, c1))
+            rows = (centers[c0:c1, None, :] + 0.5 * noise).reshape(-1, dim)
+            return rows[lo - c0 * per: hi - c0 * per]
+
+        t0 = time.perf_counter()
+        ivf = IVFIndex.build_chunked(gen, n_posts, dim, nlist=nlist,
+                                     iters=10, quantize="int8", chunk=chunk)
+        _ = np.asarray(ivf.packed_idx[0, :1])
+        build_s = time.perf_counter() - t0
+
+        @partial(jax.jit, donate_argnums=0)
+        def put_chunk(buf, rows, lo):
+            q, i = quantize_rows_int8(rows)
+            return jax.lax.dynamic_update_slice(buf, q, (lo, 0)), i
+
+        q8 = jnp.zeros((n_posts, dim), jnp.int8)
+        inv_host = np.zeros(n_posts, np.float32)
+        for lo in range(0, n_posts, chunk):
+            q8, i = put_chunk(q8, gen(lo, lo + chunk), lo)
+            inv_host[lo: lo + chunk] = np.asarray(i)
+        qinv = jnp.asarray(inv_host)
     queries = (centers[jax.random.randint(k4, (8,), 0, 1024)]
                + 0.5 * jax.random.normal(k4, (8, dim), jnp.float32))
     exact_fn = jax.jit(lambda q, p, i: retrieval_topk(
@@ -314,27 +351,39 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
     drain(out)
     exact_ms = (time.perf_counter() - t0) / iters * 1e3
 
-    # ivf single query (amortized)
-    _ = ivf.query(np.asarray(q1), k=k, nprobe=nprobe)
-    fn = ivf._jitted_query(1, k, nprobe)
-    args = (q1, ivf.packed, ivf.packed_idx, ivf.centroids, ivf.inv_norms)
-    drain(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    drain(out)
-    ivf_ms = (time.perf_counter() - t0) / iters * 1e3
-
-    # recall@k of ivf vs exact over the 8 sample queries
     _, e_idx = exact_fn(queries, q8, qinv)
-    _, i_idx = ivf.query(np.asarray(queries), k=k, nprobe=nprobe)
-    e_idx, i_idx = np.asarray(e_idx), np.asarray(i_idx)
-    recall = np.mean([len(set(e_idx[i]) & set(i_idx[i])) / k
-                      for i in range(len(e_idx))])
-    return {"n_posts": n_posts, "nlist": nlist, "nprobe": nprobe,
-            "build_s": build_s, "exact_single_query_ms": exact_ms,
-            "ivf_single_query_ms": ivf_ms,
-            "speedup": exact_ms / ivf_ms, "recall_at_%d" % k: float(recall)}
+    e_idx = np.asarray(e_idx)
+
+    def probe_point(npb):
+        """(latency, recall) at one nprobe over the shared build."""
+        fn = ivf._jitted_query(1, k, npb)
+        args = (q1, ivf.packed, ivf.packed_idx, ivf.centroids,
+                ivf.inv_norms)
+        drain(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        drain(out)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        _, i_idx = ivf.query(np.asarray(queries), k=k, nprobe=npb)
+        i_idx = np.asarray(i_idx)
+        recall = np.mean([len(set(e_idx[i]) & set(i_idx[i])) / k
+                          for i in range(len(e_idx))])
+        return ms, float(recall)
+
+    ivf_ms, recall = probe_point(nprobe)
+    result = {"n_posts": n_posts, "nlist": nlist, "nprobe": nprobe,
+              "build_s": build_s, "exact_single_query_ms": exact_ms,
+              "ivf_single_query_ms": ivf_ms,
+              "spill_frac": getattr(ivf, "spill_frac", None),
+              "speedup": exact_ms / ivf_ms, "recall_at_%d" % k: float(recall)}
+    if n_posts > 1_000_000:
+        # at scale the interesting artifact is the recall/latency curve:
+        # a finer centroid grid needs more probes for the same recall
+        result["nprobe_curve"] = {
+            str(npb): dict(zip(("ms", "recall"), probe_point(npb)))
+            for npb in (nprobe * 2, nprobe * 4, nprobe * 8)}
+    return result
 
 
 def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
@@ -551,15 +600,22 @@ def main():
             "mfu_vs_bf16_peak": round(r["mfu_vs_bf16_peak"], 4),
         }))
     elif mode == "ivf":
-        r = bench_ivf()
+        n = int(args[0]) * 1_000_000 if args else 1_000_000
+        nlist = (int(args[1]) if len(args) > 1
+                 else 2048 if n <= 1_000_000
+                 else int(2 * (n ** 0.5) // 64 * 64))
+        r = bench_ivf(n_posts=n, nlist=nlist)
         print(json.dumps({
-            "metric": "ivf_single_query_latency_1m_posts",
+            "metric": "ivf_single_query_latency_%dm_posts" % (n // 1_000_000),
             "value": round(r["ivf_single_query_ms"], 2), "unit": "ms",
             "vs_baseline": None,
             "exact_single_query_ms": round(r["exact_single_query_ms"], 2),
             "speedup": round(r["speedup"], 2),
             "recall_at_10": round(r["recall_at_10"], 4),
             "build_s": round(r["build_s"], 1),
+            "nlist": r["nlist"], "spill_frac": r["spill_frac"],
+            **({"nprobe_curve": r["nprobe_curve"]}
+               if "nprobe_curve" in r else {}),
         }))
     elif mode == "serving":
         quant = args[0] if args else ""

@@ -465,9 +465,14 @@ def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
     from fancyrec_tpu.serving.ivf import IVFIndex
 
     store = BigFileReader(index_dir, delimiter="\t")
-    embs = store.read_rows(np.arange(store.nr_of_rows))
-    ivf = IVFIndex.build(embs, nlist=nlist, iters=iters, seed=seed,
-                         quantize=quantize)
+    # streamed build: neither host nor device ever holds the full f32
+    # corpus (40 GB at the 10M x 1024 design scale) -- rows arrive in
+    # chunks straight from the BigFile mmap. Identical output to the
+    # monolithic IVFIndex.build at any size that fits (pinned in tests).
+    ivf = IVFIndex.build_chunked(
+        lambda lo, hi: store.read_rows(np.arange(lo, hi)),
+        store.nr_of_rows, store.ndims, nlist=nlist, iters=iters, seed=seed,
+        quantize=quantize)
     out = os.path.join(index_dir, "ivf")
     ivf.save(out)
     # stamp the store size the sidecar was built from: PostIndex.ivf()

@@ -109,8 +109,14 @@ def balanced_assign(choices: np.ndarray, nlist: int, cap: int) -> np.ndarray:
     cluster, bids are granted in post order until the remaining capacity
     runs out (vectorized via a per-cluster running count). Posts that
     exhaust all C choices are spilled round-robin into whatever clusters
-    still have room (recall for them is whatever the probe set catches;
-    with cap >= 1.2*N/nlist spills are <0.1% in practice).
+    still have room -- those become invisible to probes of their true
+    neighborhood, so the spill fraction is a RECALL CEILING. How large
+    it gets depends on corpus topology, not just cap: hot topics whose
+    population exceeds cap x (their centroid count) overflow all their
+    nearby choices (measured 2% spills at 4M posts over 1024 synthetic
+    topics with nlist=2048, vs ~0 on evenly-spread 1M). IVFIndex
+    surfaces it as .spill_frac / ivf_meta.json["spill_frac"]; mitigate
+    with more n_choices, larger cap, or topology-matched nlist.
     """
     n, n_choices = choices.shape
     assert nlist * cap >= n, "capacity %d*%d < %d posts" % (nlist, cap, n)
@@ -159,6 +165,11 @@ class IVFIndex:
         self.inv_norms = (None if inv_norms is None
                           else jnp.asarray(inv_norms, jnp.float32))
         self.nlist, self.cap = self.packed_idx.shape
+        # fraction of posts that exhausted their top-C centroid choices
+        # at build time and were spilled round-robin (those are invisible
+        # to probes of their true neighborhood -- a recall ceiling).
+        # None when unknown (hand-constructed indexes).
+        self.spill_frac = None
         self._cache = {}
 
     # ---------------------------------------------------------- build --
@@ -166,7 +177,7 @@ class IVFIndex:
     @classmethod
     def build(cls, post_embs: np.ndarray, nlist: Optional[int] = None,
               cap: Optional[int] = None, iters: int = 10, seed: int = 0,
-              quantize: str = "", n_choices: int = 4) -> "IVFIndex":
+              quantize: str = "", n_choices: int = 8) -> "IVFIndex":
         if quantize not in ("", "int8"):
             raise ValueError("quantize must be '' or 'int8'")
         n, d = post_embs.shape
@@ -183,6 +194,7 @@ class IVFIndex:
         cents = spherical_kmeans(x, nlist, iters=iters, seed=seed)
         choices = _top_choices(x, cents, min(n_choices, nlist))
         assign = balanced_assign(choices, nlist, cap)
+        spill_frac = float(np.mean(~(choices == assign[:, None]).any(1)))
 
         # device packing: only the (N, C) choices and the (N,) balanced
         # assignment cross the host boundary (a 1M x 1024 index never
@@ -211,7 +223,103 @@ class IVFIndex:
             from fancyrec_tpu.ops.similarity import quantize_rows_int8
             packed, inv = jax.jit(quantize_rows_int8)(packed)
             inv = inv.reshape(nlist, cap)
-        return cls(cents, packed.reshape(nlist, cap, d), packed_idx, inv)
+        out = cls(cents, packed.reshape(nlist, cap, d), packed_idx, inv)
+        out.spill_frac = spill_frac
+        return out
+
+    @classmethod
+    def build_chunked(cls, row_source, n: int, d: int,
+                      nlist: Optional[int] = None, cap: Optional[int] = None,
+                      iters: int = 10, seed: int = 0, quantize: str = "int8",
+                      n_choices: int = 8, chunk: int = 262144,
+                      train_rows: int = 524288) -> "IVFIndex":
+        """Memory-lean build for indexes too large to materialize in f32.
+
+        The f32 corpus never exists as one array: rows stream through
+        `row_source(lo, hi) -> (hi-lo, d) float32` (a BigFile read, a
+        decode stage, on-device generation), and the device holds only
+        the packed index (1 byte/elem in int8 mode) plus one in-flight
+        chunk. That is what makes the module docstring's 10M-x-1024
+        scale actually buildable: 10M f32 is 40 GB (over HBM *and* this
+        host's RAM), the packed int8 index is 10 GB.
+
+        k-means trains on an evenly-strided sample of `train_rows` rows
+        (full corpus when n <= train_rows). With a full-sample k-means
+        the result is BIT-IDENTICAL to build() on the same data/seed
+        (pinned in tests): quantization is per-row, slot assignment is
+        the same host math, and the scatter writes the same bytes.
+        """
+        if quantize not in ("", "int8"):
+            raise ValueError("quantize must be '' or 'int8'")
+        if nlist is None:
+            nlist = max(1, min(n, int(np.sqrt(n) * 2)))
+        if cap is None:
+            cap = max(1, int(np.ceil(1.3 * n / nlist)))
+        cap = -(-cap // 32) * 32            # int8 sublane tile (see build)
+
+        # ---- k-means on a strided sample (full corpus if it fits) ----
+        if n <= train_rows:
+            starts = list(range(0, n, chunk))
+        else:
+            n_train_chunks = max(1, train_rows // chunk)
+            stride = max(chunk, (n // n_train_chunks) // chunk * chunk)
+            starts = list(range(0, n - chunk + 1, stride))[:n_train_chunks]
+        train = np.concatenate(
+            [np.asarray(row_source(lo, min(lo + chunk, n)), np.float32)
+             for lo in starts])
+        cents = spherical_kmeans(jnp.asarray(train), nlist, iters=iters,
+                                 seed=seed)
+        del train
+
+        # ---- per-row top-C choices, streamed ----
+        choices = np.concatenate([
+            np.asarray(_top_choices(
+                jnp.asarray(row_source(lo, min(lo + chunk, n)), jnp.float32),
+                cents, min(n_choices, nlist)))
+            for lo in range(0, n, chunk)])
+        assign = balanced_assign(choices, nlist, cap)
+        spill_frac = float(np.mean(~(choices == assign[:, None]).any(1)))
+
+        # ---- slot per global row (same math as build()'s pack, host) --
+        order = np.argsort(assign, kind="stable")
+        counts = np.bincount(assign, minlength=nlist)
+        starts_c = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rows_srt = assign[order]
+        cols = np.arange(n) - starts_c[rows_srt]
+        slot_of = np.empty(n, np.int64)
+        slot_of[order] = rows_srt * cap + cols
+
+        # ---- streamed scatter into the packed device buffer ----------
+        from functools import partial
+        int8 = quantize == "int8"
+        packed = jnp.zeros((nlist * cap, d),
+                           jnp.int8 if int8 else jnp.float32)
+        inv_host = np.zeros(nlist * cap, np.float32) if int8 else None
+
+        @partial(jax.jit, donate_argnums=0)
+        def scatter(packed, rows, slots):
+            xn = _l2norm(rows)
+            if int8:
+                from fancyrec_tpu.ops.similarity import quantize_rows_int8
+                q, qinv = quantize_rows_int8(xn)
+                return packed.at[slots].set(q), qinv
+            return packed.at[slots].set(xn), jnp.zeros((rows.shape[0],))
+
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            rows = jnp.asarray(row_source(lo, hi), jnp.float32)
+            packed, qinv = scatter(packed, rows,
+                                   jnp.asarray(slot_of[lo:hi]))
+            if int8:
+                inv_host[slot_of[lo:hi]] = np.asarray(qinv)
+
+        packed_idx = np.full(nlist * cap, -1, np.int32)
+        packed_idx[slot_of] = np.arange(n, dtype=np.int32)
+        inv = (jnp.asarray(inv_host.reshape(nlist, cap)) if int8 else None)
+        out = cls(cents, packed.reshape(nlist, cap, d),
+                  packed_idx.reshape(nlist, cap), inv)
+        out.spill_frac = spill_frac
+        return out
 
     # ---------------------------------------------------------- query --
 
@@ -303,6 +411,7 @@ class IVFIndex:
                 np.asarray(self.packed_idx))
         np.asarray(self.packed).tofile(os.path.join(path, "packed.bin"))
         meta = {"nlist": int(self.nlist), "cap": int(self.cap),
+                "spill_frac": self.spill_frac,
                 "dim": int(self.packed.shape[-1]),
                 "dtype": str(np.dtype(np.asarray(self.packed).dtype))}
         if self.inv_norms is not None:
@@ -320,5 +429,7 @@ class IVFIndex:
         packed = packed.reshape(meta["nlist"], meta["cap"], meta["dim"])
         inv_path = os.path.join(path, "inv_norms.npy")
         inv = np.load(inv_path) if os.path.exists(inv_path) else None
-        return cls(np.load(os.path.join(path, "centroids.npy")), packed,
-                   np.load(os.path.join(path, "packed_idx.npy")), inv)
+        out = cls(np.load(os.path.join(path, "centroids.npy")), packed,
+                  np.load(os.path.join(path, "packed_idx.npy")), inv)
+        out.spill_frac = meta.get("spill_frac")
+        return out

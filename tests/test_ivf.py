@@ -125,6 +125,47 @@ def test_batched_queries_and_k_padding():
     assert (idxs[np.isneginf(vals)] == -1).all()
 
 
+def test_chunked_build_bit_identical_to_monolithic():
+    """build_chunked (the streamed path used by fancyrec-index ivf-build)
+    must produce byte-identical centroids/packed/packed_idx/inv_norms to
+    the monolithic build when k-means sees the full corpus: quantization
+    is per-row, slot assignment is the same host math, and the scatter
+    writes the same bytes -- for both int8 and f32 modes, with a chunk
+    size that does not divide the row count."""
+    x = _clustered(n=3001, d=32, n_clusters=8, seed=5)
+
+    for quant in ("int8", ""):
+        mono = IVFIndex.build(x, nlist=8, iters=4, seed=3, quantize=quant)
+        chunked = IVFIndex.build_chunked(
+            lambda lo, hi: x[lo:hi], len(x), 32, nlist=8, iters=4, seed=3,
+            quantize=quant, chunk=512, train_rows=1 << 20)
+        np.testing.assert_array_equal(np.asarray(mono.centroids),
+                                      np.asarray(chunked.centroids))
+        np.testing.assert_array_equal(np.asarray(mono.packed),
+                                      np.asarray(chunked.packed))
+        np.testing.assert_array_equal(np.asarray(mono.packed_idx),
+                                      np.asarray(chunked.packed_idx))
+        if quant == "int8":
+            np.testing.assert_array_equal(np.asarray(mono.inv_norms),
+                                          np.asarray(chunked.inv_norms))
+        else:
+            assert mono.inv_norms is None and chunked.inv_norms is None
+
+
+def test_chunked_build_subsampled_kmeans_still_exact_scoring():
+    """With a k-means training subsample (the >train_rows regime) the
+    centroids differ from the monolithic build, but scoring stays exact
+    over the probed subset: full-probe query == exact brute force."""
+    x = _clustered(n=4000, d=32, n_clusters=16, seed=6)
+    ivf = IVFIndex.build_chunked(
+        lambda lo, hi: x[lo:hi], len(x), 32, nlist=8, iters=4, seed=0,
+        quantize="", chunk=1000, train_rows=2000)
+    q = x[123]
+    vals, idxs = ivf.query(q[None], k=5, nprobe=8)    # probe everything
+    expect = _exact_topk(x, q, 5)
+    assert list(idxs[0]) == list(expect)
+
+
 def test_save_load_roundtrip(tmp_path):
     x = _clustered(n=600, d=16, n_clusters=8)
     ivf = IVFIndex.build(x, nlist=8, iters=4, quantize="int8")
