@@ -457,7 +457,8 @@ class PostIndex:
 
 
 def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
-                      quantize: str = "", seed: int = 0) -> dict:
+                      quantize: str = "", seed: int = 0,
+                      train_rows: int = 524288) -> dict:
     """Build the IVF-Flat ANN sidecar for an existing index directory
     (single-query serving at 10M+ posts; see serving/ivf.py). The sidecar
     lives under <index_dir>/ivf and is picked up by
@@ -467,12 +468,16 @@ def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
     store = BigFileReader(index_dir, delimiter="\t")
     # streamed build: neither host nor device ever holds the full f32
     # corpus (40 GB at the 10M x 1024 design scale) -- rows arrive in
-    # chunks straight from the BigFile mmap. Identical output to the
-    # monolithic IVFIndex.build at any size that fits (pinned in tests).
+    # chunks straight from the BigFile mmap. Bit-identical to the
+    # monolithic IVFIndex.build when k-means sees the full corpus, i.e.
+    # stores up to `train_rows` rows (pinned in tests); beyond that
+    # k-means trains on an evenly-strided train_rows-row sample -- raise
+    # --kmeans_train_rows to the store size to opt back into full-sample
+    # centroids when memory allows (~4 GB f32 per 1M x 1024 rows).
     ivf = IVFIndex.build_chunked(
         lambda lo, hi: store.read_rows(np.arange(lo, hi)),
         store.nr_of_rows, store.ndims, nlist=nlist, iters=iters, seed=seed,
-        quantize=quantize)
+        quantize=quantize, train_rows=train_rows)
     out = os.path.join(index_dir, "ivf")
     ivf.save(out)
     # stamp the store size the sidecar was built from: PostIndex.ivf()
@@ -485,7 +490,8 @@ def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
     with open(meta_path, "w") as f:
         f.write(json.dumps(meta))
     return {"nlist": int(ivf.nlist), "cap": int(ivf.cap),
-            "posts": store.nr_of_rows, "out": out}
+            "posts": store.nr_of_rows, "spill_frac": ivf.spill_frac,
+            "out": out}
 
 
 def main(argv=None):
@@ -517,6 +523,10 @@ def main(argv=None):
     iv.add_argument("--iters", type=int, default=10)
     iv.add_argument("--quantize", default="", choices=["", "int8"])
     iv.add_argument("--seed", type=int, default=0)
+    iv.add_argument("--kmeans_train_rows", type=int, default=524288,
+                    help="k-means training sample size (strided); set to "
+                         ">= the store's row count for full-sample "
+                         "centroids when ~4 GB f32 per 1M rows fits")
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("--brands", required=True,
@@ -551,7 +561,8 @@ def main(argv=None):
     elif a.cmd == "ivf-build":
         info = build_ivf_sidecar(a.index_dir, nlist=a.nlist or None,
                                  iters=a.iters, quantize=a.quantize,
-                                 seed=a.seed)
+                                 seed=a.seed,
+                                 train_rows=a.kmeans_train_rows)
         print(json.dumps(info))
     else:
         index = PostIndex(a.index_dir, mesh=mesh, quantize=a.quantize,

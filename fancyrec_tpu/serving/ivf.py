@@ -83,6 +83,23 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
     return cents
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _top_choices_blocks(xp, cents, n_choices, nb, block):
+    # module-level jit: build_chunked calls _top_choices once per chunk,
+    # and a per-call closure would re-trace + re-compile an identical
+    # program every time (tens of seconds each over a TPU tunnel)
+    d = xp.shape[1]
+
+    def blk(b):
+        _, idx = jax.lax.top_k(b @ cents.T, n_choices)
+        return idx.astype(jnp.int32)
+
+    return jax.lax.map(blk, xp.reshape(nb, block, d))
+
+
 def _top_choices(embs: jnp.ndarray, cents: jnp.ndarray, n_choices: int,
                  block: int = 65536) -> np.ndarray:
     """Per post: indices of the n_choices nearest centroids -> (N, C)."""
@@ -91,15 +108,8 @@ def _top_choices(embs: jnp.ndarray, cents: jnp.ndarray, n_choices: int,
     pad = (-n) % block
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     nb = xp.shape[0] // block
-
-    @jax.jit
-    def run(xp, cents):
-        def blk(b):
-            _, idx = jax.lax.top_k(b @ cents.T, n_choices)
-            return idx.astype(jnp.int32)
-        return jax.lax.map(blk, xp.reshape(nb, block, d))
-
-    return np.asarray(run(xp, cents)).reshape(-1, n_choices)[:n]
+    out = _top_choices_blocks(xp, cents, n_choices, nb, block)
+    return np.asarray(out).reshape(-1, n_choices)[:n]
 
 
 def balanced_assign(choices: np.ndarray, nlist: int, cap: int) -> np.ndarray:
@@ -258,14 +268,15 @@ class IVFIndex:
         cap = -(-cap // 32) * 32            # int8 sublane tile (see build)
 
         # ---- k-means on a strided sample (full corpus if it fits) ----
-        if n <= train_rows:
-            starts = list(range(0, n, chunk))
+        step = min(chunk, n)        # a chunk larger than the corpus must
+        if n <= train_rows:         # not empty the sample (range(0, n<0))
+            starts = list(range(0, n, step))
         else:
-            n_train_chunks = max(1, train_rows // chunk)
-            stride = max(chunk, (n // n_train_chunks) // chunk * chunk)
-            starts = list(range(0, n - chunk + 1, stride))[:n_train_chunks]
+            n_train_chunks = max(1, train_rows // step)
+            stride = max(step, (n // n_train_chunks) // step * step)
+            starts = list(range(0, n - step + 1, stride))[:n_train_chunks]
         train = np.concatenate(
-            [np.asarray(row_source(lo, min(lo + chunk, n)), np.float32)
+            [np.asarray(row_source(lo, min(lo + step, n)), np.float32)
              for lo in starts])
         cents = spherical_kmeans(jnp.asarray(train), nlist, iters=iters,
                                  seed=seed)

@@ -44,6 +44,11 @@ struct Store {
   int64_t rows = 0;
   int64_t dim = 0;
   int fd = -1;
+  // bumped every time the slot is (re)opened; the generation rides in
+  // the handle's high bits so a stale handle whose slot was closed and
+  // reused for a DIFFERENT file fails cleanly instead of silently
+  // reading the new file's rows (handle-reuse ABA)
+  uint32_t gen = 0;
   bool open = false;
 };
 
@@ -53,11 +58,19 @@ std::mutex g_mu;
 std::vector<std::unique_ptr<Store>> g_stores;
 long g_page = sysconf(_SC_PAGESIZE);
 
-Store* store_for(int64_t handle) {
+int64_t make_handle(int64_t slot, uint32_t gen) {
+  return (static_cast<int64_t>(gen) << 31) | slot;
+}
+
+// -> (store, expected generation); callers must re-check open AND
+// s->gen == gen under the store lock before touching the mapping
+Store* store_for(int64_t handle, uint32_t* gen) {
   std::lock_guard<std::mutex> lk(g_mu);
-  if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size()))
+  int64_t slot = handle & 0x7fffffff;
+  *gen = static_cast<uint32_t>(handle >> 31);
+  if (handle < 0 || slot >= static_cast<int64_t>(g_stores.size()))
     return nullptr;
-  return g_stores[handle].get();
+  return g_stores[slot].get();
 }
 
 int hw_threads() {
@@ -117,16 +130,18 @@ int64_t frio_open(const char* path, int64_t rows, int64_t dim) {
   s.rows = rows;
   s.dim = dim;
   s.fd = fd;
+  s.gen = (s.gen + 1) & 0x7fffffff;   // new identity for this slot
   s.open = true;
-  return slot;
+  return make_handle(slot, s.gen);
 }
 
 int frio_prefetch(int64_t handle, const int64_t* idx, int64_t n) {
-  Store* sp = store_for(handle);
+  uint32_t gen;
+  Store* sp = store_for(handle, &gen);
   if (!sp) return -1;
   std::shared_lock<std::shared_mutex> rl(sp->mu);
   const Store& s = *sp;
-  if (!s.open) return -1;
+  if (!s.open || s.gen != gen) return -1;
   size_t row_bytes = s.dim * sizeof(float);
   for (int64_t i = 0; i < n; ++i) {
     if (idx[i] < 0 || idx[i] >= s.rows) continue;
@@ -141,13 +156,16 @@ int frio_prefetch(int64_t handle, const int64_t* idx, int64_t n) {
 }
 
 int frio_gather(int64_t handle, const int64_t* idx, int64_t n, float* out) {
-  Store* sp = store_for(handle);
+  uint32_t gen;
+  Store* sp = store_for(handle, &gen);
   if (!sp) return -1;
   // shared (reader) lock held for the whole copy: frio_close's exclusive
-  // lock cannot munmap the mapping under our memcpys
+  // lock cannot munmap the mapping under our memcpys. The generation
+  // check (under the lock) rejects a handle whose slot was closed and
+  // reopened for a different file between store_for and here.
   std::shared_lock<std::shared_mutex> rl(sp->mu);
   const Store& s = *sp;
-  if (!s.open) return -1;
+  if (!s.open || s.gen != gen) return -1;
   for (int64_t i = 0; i < n; ++i) {
     if (idx[i] < 0 || idx[i] >= s.rows) return -1;
   }
@@ -179,11 +197,12 @@ int frio_gather(int64_t handle, const int64_t* idx, int64_t n, float* out) {
 }
 
 int frio_close(int64_t handle) {
-  Store* sp = store_for(handle);
+  uint32_t gen;
+  Store* sp = store_for(handle, &gen);
   if (!sp) return -1;
   // exclusive lock: drains in-flight gathers/prefetches before unmapping
   std::unique_lock<std::shared_mutex> wl(sp->mu);
-  if (!sp->open) return -1;
+  if (!sp->open || sp->gen != gen) return -1;
   munmap(const_cast<float*>(sp->base), sp->bytes);
   ::close(sp->fd);
   sp->open = false;

@@ -152,6 +152,18 @@ def test_chunked_build_bit_identical_to_monolithic():
             assert mono.inv_norms is None and chunked.inv_norms is None
 
 
+def test_chunked_build_small_corpus_large_chunk():
+    """chunk > n with a k-means subsample threshold between them must not
+    empty the training sample (regression: range(0, n - chunk + 1) was
+    empty and np.concatenate([]) raised)."""
+    x = _clustered(n=600, d=16, n_clusters=4, seed=7)
+    ivf = IVFIndex.build_chunked(
+        lambda lo, hi: x[lo:hi], len(x), 16, nlist=4, iters=3,
+        quantize="int8", chunk=1024, train_rows=500)
+    vals, idxs = ivf.query(x[5][None], k=3, nprobe=4)
+    assert (idxs[0] >= 0).all() and idxs[0][0] == 5
+
+
 def test_chunked_build_subsampled_kmeans_still_exact_scoring():
     """With a k-means training subsample (the >train_rows regime) the
     centroids differ from the monolithic build, but scoring stays exact

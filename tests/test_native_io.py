@@ -60,6 +60,39 @@ def test_large_gather_multithreaded_path(store):
     g.close()
 
 
+def test_stale_handle_after_slot_reuse_fails_cleanly(tmp_path, store):
+    """Handle-reuse ABA: after close, a slot reused by a DIFFERENT file
+    must reject the old handle (generation check) instead of silently
+    serving the new file's rows."""
+    import ctypes
+
+    d, mat = store
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    other_dir = str(tmp_path / "other")
+    other = np.arange(500 * 64, dtype=np.float32).reshape(500, 64)
+    with BigFileWriter(other_dir, ndims=64) as w:
+        w.write_batch(["o%d" % i for i in range(500)], other)
+
+    g1 = native.NativeGather(d + "/feature.bin", 500, 64)
+    lib, h1 = g1._lib, g1._handle
+    lib.frio_close(h1)                  # close behind the wrapper's back
+    g2 = native.NativeGather(other_dir + "/feature.bin", 500, 64)
+    try:
+        idx = np.zeros(1, np.int64)
+        out = np.empty((1, 64), np.float32)
+        rc = lib.frio_gather(
+            h1, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 1,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        assert rc == -1                 # stale handle: clean error
+        # the new handle still serves the right file
+        np.testing.assert_array_equal(g2.gather(np.array([0], np.int64)),
+                                      other[[0]])
+    finally:
+        g1._handle = -1                 # already closed above
+        g2.close()
+
+
 def test_concurrent_close_does_not_corrupt_gathers(store):
     """ctypes releases the GIL around foreign calls, so a prefetch-thread
     gather can overlap a main-thread close. The per-store reader/writer
