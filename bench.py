@@ -372,6 +372,10 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
                           for i in range(len(e_idx))])
         return ms, float(recall)
 
+    # labels must reflect the probe count that actually ran: probe_point
+    # clamps to nlist, so clamp the reported keys identically and drop
+    # duplicate clamped points
+    nprobe = min(nprobe, nlist)
     ivf_ms, recall = probe_point(nprobe)
     result = {"n_posts": n_posts, "nlist": nlist, "nprobe": nprobe,
               "build_s": build_s, "exact_single_query_ms": exact_ms,
@@ -381,9 +385,11 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
     if n_posts > 1_000_000:
         # at scale the interesting artifact is the recall/latency curve:
         # a finer centroid grid needs more probes for the same recall
+        points = sorted({min(nprobe * m, nlist) for m in (2, 4, 8)}
+                        - {nprobe})
         result["nprobe_curve"] = {
             str(npb): dict(zip(("ms", "recall"), probe_point(npb)))
-            for npb in (nprobe * 2, nprobe * 4, nprobe * 8)}
+            for npb in points}
     return result
 
 

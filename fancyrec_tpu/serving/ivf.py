@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -81,9 +82,6 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
     for _ in range(iters):
         cents, _ = lloyd(cents, x, xp)
     return cents
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -267,11 +265,17 @@ class IVFIndex:
             cap = max(1, int(np.ceil(1.3 * n / nlist)))
         cap = -(-cap // 32) * 32            # int8 sublane tile (see build)
 
+        if n <= 0:
+            raise ValueError("build_chunked needs a non-empty corpus")
         # ---- k-means on a strided sample (full corpus if it fits) ----
         step = min(chunk, n)        # a chunk larger than the corpus must
         if n <= train_rows:         # not empty the sample (range(0, n<0))
             starts = list(range(0, n, step))
         else:
+            # a train_rows below one chunk must still be honored: shrink
+            # the sample read size so the cap is real, not floored at
+            # min(chunk, n) rows
+            step = min(step, max(1, train_rows))
             n_train_chunks = max(1, train_rows // step)
             stride = max(step, (n // n_train_chunks) // step * step)
             starts = list(range(0, n - step + 1, stride))[:n_train_chunks]
@@ -301,7 +305,6 @@ class IVFIndex:
         slot_of[order] = rows_srt * cap + cols
 
         # ---- streamed scatter into the packed device buffer ----------
-        from functools import partial
         int8 = quantize == "int8"
         packed = jnp.zeros((nlist * cap, d),
                            jnp.int8 if int8 else jnp.float32)
