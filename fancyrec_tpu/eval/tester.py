@@ -162,7 +162,15 @@ def main(argv=None):
         # devices at full efficiency instead of replicating every batch
         # (same policy as the trainer's default-mesh handling)
         import math
-        ndev = math.gcd(opt.batch_size, ndev)
+        use = math.gcd(opt.batch_size, ndev)
+        # same one-line notice the trainer prints: a silent shrink reads
+        # as an unexplained N-x eval slowdown (e.g. a prime batch size on
+        # an 8-device host encoding on 1 device)
+        print("note: --batch_size %d does not divide the %d-device "
+              "default mesh; encoding data-parallel over %d device(s) "
+              "(pass --mesh_shape to override)"
+              % (opt.batch_size, ndev, use))
+        ndev = use
     mesh = build_mesh(opt.mesh_shape if opt.mesh_shape != ""
                       else "%d,1" % ndev)
     # on a pod each process gathers only its 1/P slice of every batch

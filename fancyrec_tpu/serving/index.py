@@ -479,16 +479,13 @@ def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
         store.nr_of_rows, store.ndims, nlist=nlist, iters=iters, seed=seed,
         quantize=quantize, train_rows=train_rows)
     out = os.path.join(index_dir, "ivf")
+    # stamp the store size the sidecar was built from BEFORE save (it is
+    # part of IVFIndex.save()'s own meta): PostIndex.ivf() refuses a
+    # sidecar whose row-index space no longer matches the store, and any
+    # save path -- including a user re-save through the public API --
+    # must carry the stamp rather than be permanently flagged stale
+    ivf.source_posts = store.nr_of_rows
     ivf.save(out)
-    # stamp the store size the sidecar was built from: PostIndex.ivf()
-    # refuses to serve a sidecar whose row-index space no longer matches
-    # the store (appends / rebuilds)
-    meta_path = os.path.join(out, "ivf_meta.json")
-    with open(meta_path) as f:
-        meta = json.loads(f.read())
-    meta["source_posts"] = store.nr_of_rows
-    with open(meta_path, "w") as f:
-        f.write(json.dumps(meta))
     return {"nlist": int(ivf.nlist), "cap": int(ivf.cap),
             "posts": store.nr_of_rows, "spill_frac": ivf.spill_frac,
             "out": out}

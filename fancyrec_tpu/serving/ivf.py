@@ -178,6 +178,12 @@ class IVFIndex:
         # to probes of their true neighborhood -- a recall ceiling).
         # None when unknown (hand-constructed indexes).
         self.spill_frac = None
+        # row count of the store this sidecar was built from: saved into
+        # ivf_meta.json so PostIndex.ivf() can refuse a sidecar whose
+        # packed row indices no longer match the store (appends/rebuilds).
+        # Part of save() so ANY save path stamps it, not just
+        # build_ivf_sidecar's (a re-saved sidecar must not go stale).
+        self.source_posts = None
         self._cache = {}
 
     # ---------------------------------------------------------- build --
@@ -276,12 +282,15 @@ class IVFIndex:
             # the sample read size so the cap is real, not floored at
             # min(chunk, n) rows
             step = min(step, max(1, train_rows))
-            n_train_chunks = max(1, train_rows // step)
+            # ceil the chunk count, then trim: flooring silently halved
+            # the requested sample (e.g. train_rows 500000 with the
+            # default 262144 chunk trained on one 262144-row chunk)
+            n_train_chunks = -(-train_rows // step)
             stride = max(step, (n // n_train_chunks) // step * step)
-            starts = list(range(0, n - step + 1, stride))[:n_train_chunks]
+            starts = list(range(0, n, stride))[:n_train_chunks]
         train = np.concatenate(
             [np.asarray(row_source(lo, min(lo + step, n)), np.float32)
-             for lo in starts])
+             for lo in starts])[:train_rows]
         cents = spherical_kmeans(jnp.asarray(train), nlist, iters=iters,
                                  seed=seed)
         del train
@@ -428,6 +437,8 @@ class IVFIndex:
                 "spill_frac": self.spill_frac,
                 "dim": int(self.packed.shape[-1]),
                 "dtype": str(np.dtype(np.asarray(self.packed).dtype))}
+        if self.source_posts is not None:
+            meta["source_posts"] = int(self.source_posts)
         if self.inv_norms is not None:
             np.save(os.path.join(path, "inv_norms.npy"),
                     np.asarray(self.inv_norms))
@@ -446,4 +457,5 @@ class IVFIndex:
         out = cls(np.load(os.path.join(path, "centroids.npy")), packed,
                   np.load(os.path.join(path, "packed_idx.npy")), inv)
         out.spill_frac = meta.get("spill_frac")
+        out.source_posts = meta.get("source_posts")
         return out

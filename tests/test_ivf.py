@@ -178,13 +178,44 @@ def test_chunked_build_subsampled_kmeans_still_exact_scoring():
     assert list(idxs[0]) == list(expect)
 
 
+def test_chunked_kmeans_sample_honors_train_rows():
+    """The k-means training sample must cover (at least) the requested
+    train_rows (regression: floor'd chunk count trained on as little as
+    half the requested sample, e.g. 500k -> one 262144-row chunk)."""
+    x = _clustered(n=3000, d=16, n_clusters=8, seed=9)
+    calls = []
+
+    def src(lo, hi):
+        calls.append((lo, hi))
+        return x[lo:hi]
+
+    IVFIndex.build_chunked(src, len(x), 16, nlist=8, iters=2,
+                           quantize="", chunk=400, train_rows=1000)
+    # the k-means sample reads are every call before the per-row choices
+    # stream restarts at row 0
+    train_calls = []
+    for i, c in enumerate(calls):
+        if i > 0 and c[0] == 0:
+            break
+        train_calls.append(c)
+    assert sum(hi - lo for lo, hi in train_calls) >= 1000
+
+
 def test_save_load_roundtrip(tmp_path):
     x = _clustered(n=600, d=16, n_clusters=8)
     ivf = IVFIndex.build(x, nlist=8, iters=4, quantize="int8")
+    # the staleness stamp is part of save()'s own meta: any save path --
+    # including a user re-save through the public API -- must carry it
+    ivf.source_posts = 600
     ivf.save(str(tmp_path / "ivf"))
     back = IVFIndex.load(str(tmp_path / "ivf"))
+    assert back.source_posts == 600
     q = np.random.RandomState(3).randn(16).astype(np.float32)
     v1, i1 = ivf.query(q, k=5, nprobe=3)
     v2, i2 = back.query(q, k=5, nprobe=3)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
+    # a load -> re-save must not lose the stamp (it would be permanently
+    # flagged stale by PostIndex.ivf())
+    back.save(str(tmp_path / "ivf2"))
+    assert IVFIndex.load(str(tmp_path / "ivf2")).source_posts == 600
