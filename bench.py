@@ -149,7 +149,8 @@ def bench_train_resident(n_super: int = 8, iters: int = 4,
 
 
 def bench_train_bucketed(n_posts: int = 1024, iters: int = 3,
-                         dtype: str = "") -> dict:
+                         dtype: str = "", batch_size: int = 0,
+                         rng_impl: str = "") -> dict:
     """Train throughput with length-grouped batches + bucketed padding vs
     the static max pad, on an insCar-like length mix (~90% single-frame
     image posts, ~10% videos up to max_frames; reference constant
@@ -172,6 +173,11 @@ def bench_train_bucketed(n_posts: int = 1024, iters: int = 3,
     cfg.queue_size = 512
     if dtype:
         cfg.dtype = dtype
+    if batch_size:
+        cfg.batch_size = batch_size
+        cfg.accumulation_step = max(1, 64 // batch_size)
+    if rng_impl:
+        cfg.rng_impl = rng_impl
     cfg = cfg.finalize()
     b, a = cfg.batch_size, cfg.accumulation_step
     n_posts -= n_posts % (b * a)
@@ -507,6 +513,10 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
     run("train_resident_b64_bf16", lambda: {
         k: round(v, 4) for k, v in
         bench_train_resident(batch_size=64, dtype="bfloat16").items()})
+    run("train_resident_b256_bf16", lambda: {
+        k: round(v, 4) for k, v in
+        bench_train_resident(n_super=2, batch_size=256,
+                             dtype="bfloat16").items()})
     run("train_bucketed", lambda: {
         k: round(v, 4) for k, v in bench_train_bucketed().items()})
     run("retrieval_1m_mposts_per_sec",
@@ -533,12 +543,84 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
     return artifact
 
 
+def _emit_round_lines(results: dict, artifact_path: str) -> None:
+    """Print the whole round's metrics as compact one-line JSON records,
+    resnet first (the driver parses the FIRST line into BENCH_r*.json;
+    the tail carries the rest of the round instead of one metric)."""
+    def line(metric, value, unit, vs_baseline=None, **extra):
+        rec = {"metric": metric,
+               "value": (round(value, 2) if isinstance(value, float)
+                         else value),
+               "unit": unit, "vs_baseline": vs_baseline}
+        rec.update(extra)
+        print(json.dumps(rec), flush=True)
+
+    def get(name, *keys):
+        v = results.get(name)
+        for k in keys:
+            if not isinstance(v, dict):
+                return None
+            v = v.get(k)
+        if isinstance(v, dict) and "error" in v:
+            return None
+        return v
+
+    fps = get("resnet152_fps")
+    line("resnet152_feature_extraction_throughput", fps, "frames/sec/chip",
+         vs_baseline=(round(fps / BASELINE_FPS, 4)
+                      if isinstance(fps, (int, float)) else None),
+         artifact=artifact_path)
+    line("train_step_throughput_recipe_config",
+         get("train_step_posts_per_sec"), "posts/sec/chip")
+    line("train_step_throughput_recipe_config_b64_bf16",
+         get("train_step_b64_bf16_posts_per_sec"), "posts/sec/chip")
+    line("train_step_throughput_device_resident",
+         get("train_resident", "posts_per_sec"), "posts/sec/chip",
+         tflops_per_sec=get("train_resident", "tflops_per_sec"))
+    line("train_step_throughput_device_resident_b64_bf16",
+         get("train_resident_b64_bf16", "posts_per_sec"), "posts/sec/chip",
+         tflops_per_sec=get("train_resident_b64_bf16", "tflops_per_sec"))
+    line("train_step_throughput_device_resident_b256_bf16",
+         get("train_resident_b256_bf16", "posts_per_sec"), "posts/sec/chip",
+         tflops_per_sec=get("train_resident_b256_bf16", "tflops_per_sec"),
+         mfu_vs_bf16_peak=get("train_resident_b256_bf16",
+                              "mfu_vs_bf16_peak"))
+    line("train_step_throughput_bucketed_inscar_mix",
+         get("train_bucketed", "bucketed_posts_per_sec"), "posts/sec/chip",
+         speedup_vs_static_pad=get("train_bucketed", "speedup"))
+    line("retrieval_topk_1m_posts",
+         get("retrieval_1m_mposts_per_sec"), "Mposts/sec/chip")
+    line("retrieval_topk_1m_posts_int8",
+         get("retrieval_1m_int8_mposts_per_sec"), "Mposts/sec/chip")
+    line("eval_encode_throughput_recipe_config",
+         get("eval", "encode_posts_per_sec"), "posts/sec/chip",
+         metric_kernel_ms=get("eval", "metric_kernel_ms"))
+    line("ivf_single_query_latency_1m_posts",
+         get("ivf_single_query", "ivf_single_query_ms"), "ms",
+         exact_single_query_ms=get("ivf_single_query",
+                                   "exact_single_query_ms"),
+         recall_at_10=get("ivf_single_query", "recall_at_10"))
+    line("serving_query_latency_1m_posts",
+         get("serving_query_ms"), "ms")
+    line("serving_query_latency_1m_posts_int8",
+         get("serving_query_int8_ms"), "ms")
+
+
 def main():
-    mode = "resnet"
     args = sys.argv[1:]
-    if args and not args[0].isdigit():
+    if not args:
+        mode = "default"
+    elif not args[0].isdigit():
         mode, args = args[0], args[1:]
-    if mode == "resnet":
+    else:
+        mode = "resnet"   # bare digits keep meaning `resnet <batch>`
+    if mode == "default":
+        # the driver's end-of-round invocation: run the whole suite (each
+        # sub-bench individually fenced -- one failure never blanks the
+        # round's artifact) and print every metric as its own JSON line
+        artifact = bench_all("bench_full.json")
+        _emit_round_lines(artifact["results"], "bench_full.json")
+    elif mode == "resnet":
         batch = int(args[0]) if args else 128
         fps = bench_resnet152(batch_size=batch)
         print(json.dumps({
@@ -657,7 +739,8 @@ def main():
         raise SystemExit("usage: bench.py [resnet [batch]|train [batch]"
                          "|train_resident|train_bucketed [bf16]"
                          "|retrieval [int8]|eval|ivf"
-                         "|serving [int8]|all [out.json]]")
+                         "|serving [int8]|all [out.json]]; no args = full "
+                         "suite, one JSON line per metric (resnet first)")
 
 
 if __name__ == "__main__":
