@@ -62,6 +62,11 @@ class Config:
     bert_max_position: int = 512
     bert_type_vocab: int = 2
     bert_remat: bool = False        # rematerialize BERT layers (saves HBM)
+    bert_dropout: float = 0.1       # BERT hidden+attention dropout prob (HF
+                                    # bert-base default 0.1, which the
+                                    # reference inherits via BertConfig,
+                                    # model.py:317; exposed so deterministic
+                                    # parity runs can zero it)
 
     # visual encoding
     video_feature: str = "resnet-152-img1k-flatten0_outputos"
@@ -131,6 +136,12 @@ class Config:
                                     # (0 = keep all, the reference's behavior;
                                     # model_best.pth.tar is never pruned)
     seq_shard: bool = False         # sequence-parallel time-axis sharding over 'model'
+    pp_stages: int = 0              # pipeline-parallel the BERT layer stack over
+                                    # this many 'model'-axis stages (GPipe,
+                                    # parallel/pipeline.py); 0/1 = off. Requires
+                                    # text_net=transformers and bert_num_layers %
+                                    # pp_stages == 0; pays off on deep text towers
+                                    # that exceed one chip, not the 3-layer recipe
     profile_dir: str = ""           # capture an XLA profiler trace of epoch 1 into this dir
     token_buckets: str = ""         # e.g. "32,64,96" -- pad the token axis to the
                                     # smallest listed bucket covering the batch max
@@ -197,6 +208,40 @@ class Config:
             self.token_buckets, tok_cap, "--token_buckets")
         self.frame_buckets_list = _buckets(
             self.frame_buckets, self.max_frames, "--frame_buckets")
+        if self.pp_stages and self.pp_stages > 1:
+            if self.text_net != "transformers" or self.single_modal_visual:
+                raise ValueError(
+                    "--pp_stages pipelines the BERT layer stack: it needs "
+                    "--text_net transformers with the text tower enabled "
+                    "(got text_net=%r, single_modal_visual=%s)"
+                    % (self.text_net, self.single_modal_visual))
+            if self.bert_num_layers % self.pp_stages:
+                raise ValueError(
+                    "--bert_num_layers %d is not divisible by --pp_stages "
+                    "%d: each pipeline stage must own an equal block of "
+                    "consecutive layers"
+                    % (self.bert_num_layers, self.pp_stages))
+            if self.batch_size % self.pp_stages:
+                raise ValueError(
+                    "--batch_size %d is not divisible into %d pipeline "
+                    "microbatches (--pp_stages)"
+                    % (self.batch_size, self.pp_stages))
+            if self.mesh_shape:
+                dims = [int(x) for x in str(self.mesh_shape).split(",")]
+                model_axis = dims[1] if len(dims) > 1 else 1
+                if model_axis != self.pp_stages:
+                    raise ValueError(
+                        "--pp_stages %d must equal the model mesh axis "
+                        "(--mesh_shape %s has model=%d): the pipeline "
+                        "stages ARE the 'model' axis devices"
+                        % (self.pp_stages, self.mesh_shape, model_axis))
+                data_axis = dims[0]
+                if (self.batch_size // self.pp_stages) % data_axis:
+                    raise ValueError(
+                        "pipeline microbatch %d (= batch %d / %d stages) "
+                        "is not divisible by the data mesh axis %d"
+                        % (self.batch_size // self.pp_stages,
+                           self.batch_size, self.pp_stages, data_axis))
         if self.mesh_shape:
             # reject silent 1/N throughput: a batch that does not divide
             # the data mesh axis cannot shard, so shard_batch would
@@ -363,6 +408,14 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto_resume", action="store_true")
     p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
     p.add_argument("--seq_shard", action="store_true")
+    p.add_argument("--pp_stages", type=int, default=d.pp_stages,
+                   help="pipeline-parallel the BERT layer stack over this "
+                        "many 'model'-axis mesh stages (GPipe); 0/1 = off. "
+                        "bert_num_layers must divide evenly; with no "
+                        "--mesh_shape the trainer builds "
+                        "(devices/pp_stages, pp_stages)")
+    p.add_argument("--bert_num_layers", type=int, default=d.bert_num_layers)
+    p.add_argument("--bert_dropout", type=float, default=d.bert_dropout)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     return p
 

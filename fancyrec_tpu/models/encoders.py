@@ -179,7 +179,21 @@ class TextTransformersEncoder(nn.Module):
     norm: bool = False
     attn_fusion: bool = False
     seq_shard: bool = False     # sequence-parallel token axis
+    pp_stages: int = 0          # GPipe the BERT layer stack over 'model'
     dtype: jnp.dtype = jnp.float32
+
+    def _pp_mesh(self):
+        """The ambient mesh iff it can host the configured pipeline:
+        a 'model' axis exactly pp_stages wide. Anything else (no mesh --
+        e.g. a tester loading a pp-trained checkpoint on one device --
+        or a mesh without the stage axis) falls back to the sequential
+        encoder, which is numerically the same model."""
+        if self.pp_stages <= 1 or self.is_initializing():
+            return None
+        mesh = jax.sharding.get_abstract_mesh()
+        if "model" not in mesh.axis_names:
+            return None
+        return mesh if dict(mesh.shape)["model"] == self.pp_stages else None
 
     @nn.compact
     def __call__(self, t: TextBatch, *, deterministic: bool = True):
@@ -187,8 +201,22 @@ class TextTransformersEncoder(nn.Module):
         bl = batch_max_len(mask)
 
         org_out = t.bows
-        last_hidden = BertEncoder(self.bert, name="bert")(
-            t.tokens, t.type_ids, mask, deterministic=deterministic)
+        pp_mesh = self._pp_mesh()
+        if pp_mesh is not None:
+            from fancyrec_tpu.parallel.pipeline import bert_pipeline_forward
+            # the production BertEncoder param tree, created by the
+            # (sequential) init pass -- pipelining is a scale-out of the
+            # same model, so checkpoints are layout-identical either way
+            bert_params = self.variables["params"]["bert"]
+            rng = (None if deterministic
+                   else self.make_rng("dropout"))
+            last_hidden = bert_pipeline_forward(
+                bert_params, self.bert, t.tokens, t.type_ids, mask,
+                mesh=pp_mesh, axis="model",
+                deterministic=deterministic, rng=rng)
+        else:
+            last_hidden = BertEncoder(self.bert, name="bert")(
+                t.tokens, t.type_ids, mask, deterministic=deterministic)
         last_hidden = constrain_seq_sharding(last_hidden, self.seq_shard)
         tf_out = masked_mean(last_hidden, mask.astype(last_hidden.dtype))
 

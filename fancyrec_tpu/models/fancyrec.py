@@ -66,6 +66,8 @@ class FancyRec(nn.Module):
                         intermediate_size=cfg.bert_intermediate_size,
                         max_position_embeddings=cfg.bert_max_position,
                         type_vocab_size=cfg.bert_type_vocab,
+                        hidden_dropout_prob=cfg.bert_dropout,
+                        attention_probs_dropout_prob=cfg.bert_dropout,
                         remat=cfg.bert_remat,
                         compute_dtype=cfg.dtype or "float32"),
                     kernel_num=cfg.text_kernel_num,
@@ -74,7 +76,7 @@ class FancyRec(nn.Module):
                     dropout=cfg.dropout, concate=cfg.concate,
                     level=cfg.level_txt, norm=cfg.text_norm,
                     attn_fusion=attn_fusion, seq_shard=cfg.seq_shard,
-                    dtype=dtype)
+                    pp_stages=cfg.pp_stages, dtype=dtype)
             else:
                 raise ValueError("unknown text_net: %s" % cfg.text_net)
 

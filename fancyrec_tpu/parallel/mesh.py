@@ -66,10 +66,16 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
-def _rule_for(mesh: Mesh, path, leaf) -> NamedSharding:
+def _rule_for(mesh: Mesh, path, leaf, skip_bert: bool = False) -> NamedSharding:
     name = "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
     if hasattr(leaf, "shape"):
         for pat, spec in _PARAM_RULES:
+            if skip_bert and pat.startswith("bert/"):
+                # pipeline parallelism owns the 'model' axis for the BERT
+                # layer stack: megatron-style FFN sharding on the same
+                # axis would make the per-step stack a GSPMD all-gather
+                # instead of a free local slice of a replicated buffer
+                continue
             if re.search(pat, name):
                 sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
                 if len(spec) <= len(leaf.shape) and all(
@@ -79,13 +85,14 @@ def _rule_for(mesh: Mesh, path, leaf) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_shardings(mesh: Mesh, params):
-    """Tree of NamedShardings for a FancyRec param tree."""
+def param_shardings(mesh: Mesh, params, pp: bool = False):
+    """Tree of NamedShardings for a FancyRec param tree. pp=True keeps the
+    BERT layer stack replicated ('model' is the pipeline-stage axis)."""
     return jax.tree_util.tree_map_with_path(
-        lambda p, l: _rule_for(mesh, p, l), params)
+        lambda p, l: _rule_for(mesh, p, l, skip_bert=pp), params)
 
 
-def state_shardings(mesh: Mesh, state):
+def state_shardings(mesh: Mesh, state, pp: bool = False):
     """Shardings for a whole TrainState.
 
     The param rules key on path suffixes, so they apply equally to params
@@ -93,12 +100,12 @@ def state_shardings(mesh: Mesh, state):
     everything else (queue, counters, rng) is replicated.
     """
     return jax.tree_util.tree_map_with_path(
-        lambda p, l: _rule_for(mesh, p, l), state)
+        lambda p, l: _rule_for(mesh, p, l, skip_bert=pp), state)
 
 
-def shard_state(mesh: Mesh, state):
+def shard_state(mesh: Mesh, state, pp: bool = False):
     """device_put a TrainState with its shardings; jit then propagates them."""
-    return jax.device_put(state, state_shardings(mesh, state))
+    return jax.device_put(state, state_shardings(mesh, state, pp=pp))
 
 
 def process_batch_shard(mesh: Mesh, batch_size: int):

@@ -43,7 +43,8 @@ def stack_layer_params(per_layer: list):
 
 def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
                    aux: Any = None, *, mesh: Mesh, axis: str = "model",
-                   data_axis: Optional[str] = "data") -> jnp.ndarray:
+                   data_axis: Optional[str] = "data",
+                   rng: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Run x through L stacked layers, the layer axis sharded over mesh
     `axis` (S pipeline stages), with GPipe microbatch pipelining.
 
@@ -61,11 +62,23 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
     the mesh has one (pp composes with dp); pass data_axis=None to keep
     it replicated. Returns (M, mb, ...), replicated over `axis`.
 
+    `mesh` may be a concrete jax.sharding.Mesh or the AbstractMesh from
+    an ambient `jax.set_mesh` context (both expose .shape / .axis_names;
+    shard_map resolves the abstract form at trace time).
+
+    Stochastic layers: pass `rng` (a PRNG key) and layer_fn is called as
+    layer_fn(params, h, aux_mb, key) with a key unique per (layer,
+    microbatch) -- fold_in(fold_in(rng, global_layer_index), microbatch).
+    The draw structure differs from running the layers sequentially under
+    flax's path-folded rngs, so stochastic outputs are equally
+    distributed but NOT bit-equal to the unpipelined module; exact
+    cross-checks must run deterministically.
+
     Differentiable end-to-end: the tick loop is a lax.scan and ppermute
     has a well-defined transpose, so jax.grad pipelines the backward pass
     through the same schedule in reverse.
     """
-    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    axis_sizes = dict(mesh.shape)
     n_stages = axis_sizes[axis]
     n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     if n_layers % n_stages:
@@ -82,7 +95,9 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
             "(use fewer microbatches or data_axis=None)"
             % (x.shape[1], axis_sizes[dspec], dspec))
 
-    def kernel(params_l, x_l, aux_l):
+    layers_per_stage = n_layers // n_stages
+
+    def kernel(params_l, x_l, aux_l, rng_l):
         s = lax.axis_index(axis)
         is_first = s == 0
         is_last = s == n_stages - 1
@@ -92,11 +107,23 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
         x_l = lax.pcast(x_l, axis, to="varying")
         aux_l = jax.tree_util.tree_map(
             lambda a: lax.pcast(a, axis, to="varying"), aux_l)
+        if rng_l is not None:
+            rng_l = lax.pcast(rng_l, axis, to="varying")
 
-        def stage(h, aux_mb):
-            def body(carry, p):
-                return layer_fn(p, carry, aux_mb), None
-            h, _ = lax.scan(body, h, params_l)
+        def stage(h, aux_mb, m):
+            if rng_l is None:
+                def body(carry, p):
+                    return layer_fn(p, carry, aux_mb), None
+                h, _ = lax.scan(body, h, params_l)
+            else:
+                def body(carry, xs):
+                    p, lid_local = xs
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(
+                            rng_l, s * layers_per_stage + lid_local), m)
+                    return layer_fn(p, carry, aux_mb, key), None
+                h, _ = lax.scan(
+                    body, h, (params_l, jnp.arange(layers_per_stage)))
             return h
 
         def tick(carry, t):
@@ -109,7 +136,7 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
             aux_mb = jax.tree_util.tree_map(
                 lambda a: lax.dynamic_index_in_dim(a, m, 0, keepdims=False),
                 aux_l)
-            y = stage(h_in, aux_mb)
+            y = stage(h_in, aux_mb, m)
             # the last stage commits finished microbatches to the output
             updated = lax.dynamic_update_index_in_dim(out, y, m, 0)
             out = jnp.where(valid & is_last, updated, out)
@@ -132,19 +159,29 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
     xspec = P(None, dspec, *([None] * (nd - 2)))
     aux_specs = jax.tree_util.tree_map(
         lambda a: P(None, dspec, *([None] * (a.ndim - 2))), aux)
+    rng_spec = None if rng is None else jax.tree_util.tree_map(
+        lambda _: P(), rng)
     fn = jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(P(axis), xspec, aux_specs),
+        in_specs=(P(axis), xspec, aux_specs, rng_spec),
         out_specs=xspec)
-    return fn(stacked_params, x, aux)
+    return fn(stacked_params, x, aux, rng)
 
 
 def bert_pipeline_forward(params: dict, cfg, input_ids, token_type_ids,
                           attention_mask, *, mesh: Mesh,
-                          axis: str = "model", n_micro: int = 0):
+                          axis: str = "model", n_micro: int = 0,
+                          deterministic: bool = True, rng=None):
     """BertEncoder.apply equivalent with the layer stack pipelined over
-    mesh `axis` (deterministic path -- pipelining is a training/serving
-    scale-out of the compute, not a new model).
+    mesh `axis`.
+
+    Training path: deterministic=False + rng applies the encoder's
+    dropouts (embedding + per-layer attention/hidden) with keys folded
+    per (layer, microbatch). The masks are equally distributed but NOT
+    the same draws as the sequential encoder's path-folded flax rngs --
+    with cfg dropout probs == 0 (--bert_dropout 0) the stochastic path
+    folds to the deterministic one exactly, which is what the trainer
+    parity test pins (tests/test_multichip.py).
 
     Consumes the PRODUCTION param tree (models/bert.py BertEncoder:
     embeddings + layer_i subtrees) unchanged, so any trained checkpoint
@@ -165,11 +202,12 @@ def bert_pipeline_forward(params: dict, cfg, input_ids, token_type_ids,
     from fancyrec_tpu.models.bert import BertLayer
 
     b, t = input_ids.shape
-    n_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    n_stages = dict(mesh.shape)[axis]
     n_micro = n_micro or n_stages
     if b % n_micro:
         raise ValueError("batch %d not divisible into %d microbatches"
                          % (b, n_micro))
+    stochastic = not deterministic and rng is not None
 
     hidden = (params["word_embeddings"][input_ids]
               + params["position_embeddings"][jnp.arange(t)][None]
@@ -178,6 +216,14 @@ def bert_pipeline_forward(params: dict, cfg, input_ids, token_type_ids,
     # formula): a hand-rolled LN here would drift at the 1e-7 level
     hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps).apply(
         {"params": params["embeddings_ln"]}, hidden)
+    if stochastic and cfg.hidden_dropout_prob > 0.0:
+        # the sequential encoder's embedding dropout (replicated region,
+        # before the pipeline); key index num_hidden_layers is disjoint
+        # from the per-layer fold_in range [0, L) used inside the pipe
+        keep = 1.0 - cfg.hidden_dropout_prob
+        kemb = jax.random.fold_in(rng, cfg.num_hidden_layers)
+        mask = jax.random.bernoulli(kemb, keep, hidden.shape)
+        hidden = jnp.where(mask, hidden / keep, 0.0)
     hidden = hidden.astype(cfg._dt)
 
     mask = attention_mask.astype(jnp.float32)
@@ -187,13 +233,21 @@ def bert_pipeline_forward(params: dict, cfg, input_ids, token_type_ids,
         [params["layer_%d" % i] for i in range(cfg.num_hidden_layers)])
     layer = BertLayer(cfg)
 
-    def layer_fn(p, h, bias):
-        # keep the residual-stream dtype stable across the scan carry
-        # (no-op in f32; in bf16 mode flax LayerNorm upcasts its output)
-        return layer.apply({"params": p}, h, bias, True).astype(h.dtype)
+    if stochastic:
+        def layer_fn(p, h, bias, key):
+            return layer.apply({"params": p}, h, bias, False,
+                               rngs={"dropout": key}).astype(h.dtype)
+    else:
+        def layer_fn(p, h, bias):
+            # keep the residual-stream dtype stable across the scan carry
+            # (no-op in f32; in bf16 mode flax LayerNorm upcasts its output)
+            return layer.apply({"params": p}, h, bias, True).astype(h.dtype)
+    if getattr(cfg, "remat", False):
+        layer_fn = jax.checkpoint(layer_fn)
 
     mb = b // n_micro
     x = hidden.reshape(n_micro, mb, t, -1)
     bias = attn_bias.reshape(n_micro, mb, *attn_bias.shape[1:])
-    out = pipeline_apply(layer_fn, stacked, x, bias, mesh=mesh, axis=axis)
+    out = pipeline_apply(layer_fn, stacked, x, bias, mesh=mesh, axis=axis,
+                         rng=rng if stochastic else None)
     return out.reshape(b, t, -1)

@@ -244,6 +244,28 @@ def main(argv=None):
     # ('data','model') mesh -- cfg.mesh_shape "" = all devices on 'data', so
     # bin/instance.sh on a v5e-8 trains 8-way data-parallel by default.
     initialize_multihost()
+    if cfg.pp_stages > 1 and not cfg.mesh_shape:
+        # pipeline stages live on the 'model' axis; with no explicit
+        # --mesh_shape, give pp_stages the model axis and the rest of the
+        # devices the data axis (config.finalize already validated layer/
+        # batch divisibility against pp_stages)
+        ndev = len(jax.devices())
+        if ndev % cfg.pp_stages:
+            raise ValueError(
+                "--pp_stages %d does not divide the %d available devices; "
+                "pass an explicit --mesh_shape data,%d"
+                % (cfg.pp_stages, ndev, cfg.pp_stages))
+        cfg.mesh_shape = "%d,%d" % (ndev // cfg.pp_stages, cfg.pp_stages)
+        print("pipeline parallelism: --pp_stages %d -> mesh_shape %s"
+              % (cfg.pp_stages, cfg.mesh_shape))
+        data_axis = ndev // cfg.pp_stages
+        if data_axis > 1 and (cfg.batch_size // cfg.pp_stages) % data_axis:
+            raise ValueError(
+                "pipeline microbatch %d (= batch %d / %d stages) is not "
+                "divisible by the derived data mesh axis %d; pass an "
+                "explicit --mesh_shape or adjust --batch_size"
+                % (cfg.batch_size // cfg.pp_stages, cfg.batch_size,
+                   cfg.pp_stages, data_axis))
     mesh = build_mesh(cfg.mesh_shape)
     # batch/data-axis divisibility: an explicit --mesh_shape is rejected
     # in config.finalize; the DEFAULT mesh (data axis = device count,
@@ -406,8 +428,10 @@ def _run(cfg: Config, mesh):
 
     # place params/opt-state on the mesh per the tp rules (aspect tables,
     # wide mapping FCs, BERT FFN over 'model'; everything else replicated).
+    # Under --pp_stages the BERT stack stays replicated instead: 'model'
+    # is the pipeline-stage axis and the stages slice it locally.
     # After the resume block so restored host arrays get placed too.
-    state = shard_state(mesh, state)
+    state = shard_state(mesh, state, pp=cfg.pp_stages > 1)
 
     tx = make_optimizer(cfg)
     train_step = make_train_step(model, cfg, tx)

@@ -140,6 +140,66 @@ def test_trainer_cli_mesh_end_to_end(tmp_path):
                                        "model_best.pth.tar"))
 
 
+def test_trainer_cli_pipeline_parallel_matches_pp_off(tmp_path):
+    """`fancyrec-train ... --pp_stages 2` runs the production trainer with
+    the BERT stack GPipe-pipelined over the 'model' axis and reproduces
+    the pp-off run's score (--bert_dropout 0 makes the stochastic paths
+    fold to the same deterministic program; residual = f32 reassociation)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.train import trainer
+    from fancyrec_tpu.utils.fixture import make_fixture
+
+    root = str(tmp_path)
+    make_fixture(root, brand_num=3, videos_per_brand=4, imgs_per_brand=4,
+                 feat_dim=16, frames_per_video=4, seed=0)
+    common = [
+        "insCartrain", "insCarval", "insCartest", "--rootpath", root,
+        "--brand_num", "3", "--brand_aspect", "16",
+        "--video_feature", "resnet152_dim_16",
+        "--img_feature", "imgfeat_dim_16",
+        "--common_embedding_size", "32", "--visual_rnn_size", "16",
+        "--text_rnn_size", "16", "--visual_kernel_num", "8",
+        "--text_kernel_num", "8", "--text_mapping_size", "32",
+        "--visual_mapping_size", "32", "--word_dim", "16",
+        "--batch_size", "4", "--accumulation_step", "2",
+        "--learning_rate", "0.001", "--overwrite", "1",
+        "--max_frames", "8", "--max_tokens", "24", "--max_words", "16",
+        "--text_net", "transformers", "--fusion_style", "ph",
+        "--text_transformers_hidden_size", "48",
+        "--bert_num_layers", "4", "--bert_dropout", "0",
+        "--loss_fun", "cl", "--cost_style", "mean", "--num_epochs", "1",
+    ]
+    # mesh 2,2: microbatch 2 (= batch 4 / 2 stages) divides data axis 2
+    best_pp = trainer.main(common + ["--postfix", "run_pp",
+                                     "--mesh_shape", "2,2",
+                                     "--pp_stages", "2"])
+    best_off = trainer.main(common + ["--postfix", "run_ppoff",
+                                      "--mesh_shape", "2,2"])
+    assert best_pp > 400, best_pp
+    assert best_pp == pytest.approx(best_off, rel=1e-3)
+    assert os.path.exists(os.path.join(root, "model", "run_pp",
+                                       "model_best.pth.tar"))
+
+
+def test_pp_stages_config_validation():
+    """--pp_stages misconfigurations fail at config time with actionable
+    messages, not as GSPMD errors from inside the step."""
+    from fancyrec_tpu.config import Config
+
+    base = dict(text_net="transformers", bert_num_layers=4, batch_size=8)
+    with pytest.raises(ValueError, match="not divisible by --pp_stages"):
+        Config(**{**base, "pp_stages": 3}).finalize()
+    with pytest.raises(ValueError, match="needs --text_net transformers"):
+        Config(**{**base, "text_net": "bi-gru", "pp_stages": 2}).finalize()
+    with pytest.raises(ValueError, match="must equal the model mesh axis"):
+        Config(**{**base, "pp_stages": 2, "mesh_shape": "2,4"}).finalize()
+    with pytest.raises(ValueError, match="pipeline microbatch"):
+        Config(**{**base, "pp_stages": 2, "mesh_shape": "8,2",
+                  "batch_size": 8}).finalize()
+    Config(**{**base, "pp_stages": 2, "mesh_shape": "2,2"}).finalize()
+
+
 def test_sharded_step_matches_unsharded():
     """One full train step: dp+tp+sp sharded over the 8-device mesh must
     produce the same loss and parameters as the single-device run."""

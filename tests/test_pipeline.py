@@ -126,6 +126,63 @@ def test_bert_pipeline_matches_sequential_encoder():
                               mesh=mesh, axis="model")
 
 
+def test_bert_pipeline_stochastic_dropout():
+    """Training path: deterministic=False + rng draws real dropout masks
+    inside the pipelined layers. Contracts: reproducible given the key;
+    different keys give different outputs; zero dropout probs fold the
+    stochastic path back to the deterministic one exactly; gradients
+    stay finite through the stochastic schedule."""
+    from fancyrec_tpu.models.bert import BertConfig, BertEncoder
+
+    mesh = build_mesh("2,4")
+    rng = np.random.RandomState(5)
+    b, t = 8, 12
+    ids = jnp.asarray(rng.randint(0, 120, (b, t)), jnp.int32)
+    types = jnp.zeros((b, t), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+
+    drop = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=4,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_position_embeddings=64,
+                      hidden_dropout_prob=0.5,
+                      attention_probs_dropout_prob=0.5)
+    enc = BertEncoder(drop)
+    params = enc.init(jax.random.PRNGKey(0), ids, types, mask)["params"]
+
+    run = jax.jit(lambda p, k: bert_pipeline_forward(
+        p, drop, ids, types, mask, mesh=mesh, axis="model",
+        deterministic=False, rng=k))
+    a = np.asarray(run(params, jax.random.PRNGKey(1)))
+    a2 = np.asarray(run(params, jax.random.PRNGKey(1)))
+    c = np.asarray(run(params, jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(a, a2)          # key-deterministic
+    assert np.abs(a - c).max() > 1e-3             # keys actually matter
+    det = np.asarray(bert_pipeline_forward(
+        params, drop, ids, types, mask, mesh=mesh, axis="model"))
+    assert np.abs(a - det).max() > 1e-3           # dropout actually fires
+
+    # prob 0 stochastic == deterministic, bit-for-bit (the trainer
+    # parity case: --bert_dropout 0 makes pp-on/off losses comparable)
+    nodrop = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=4,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=64,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    s = np.asarray(jax.jit(lambda p, k: bert_pipeline_forward(
+        p, nodrop, ids, types, mask, mesh=mesh, axis="model",
+        deterministic=False, rng=k))(params, jax.random.PRNGKey(1)))
+    d = np.asarray(jax.jit(lambda p: bert_pipeline_forward(
+        p, nodrop, ids, types, mask, mesh=mesh, axis="model"))(params))
+    np.testing.assert_array_equal(s, d)
+
+    # gradients through the stochastic schedule are finite
+    g = jax.jit(jax.grad(lambda p: jnp.sum(bert_pipeline_forward(
+        p, drop, ids, types, mask, mesh=mesh, axis="model",
+        deterministic=False, rng=jax.random.PRNGKey(3)) ** 2)))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_bert_pipeline_bf16_bounded_divergence():
     """bf16 compute: the pipelined residual stream is uniformly bf16
     between layers while the sequential encoder carries f32 LayerNorm
