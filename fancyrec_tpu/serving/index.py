@@ -488,7 +488,7 @@ def build_ivf_sidecar(index_dir: str, nlist: int = None, iters: int = 10,
     ivf.save(out)
     return {"nlist": int(ivf.nlist), "cap": int(ivf.cap),
             "posts": store.nr_of_rows, "spill_frac": ivf.spill_frac,
-            "out": out}
+            "overflow_lists": int(ivf.overflow_lists), "out": out}
 
 
 def main(argv=None):

@@ -17,12 +17,17 @@ TPU-native shape of the classic design:
     (block, D) x (D, nlist) matmul argmax under lax.map (never
     materializing the (N, nlist) score matrix), the update is a
     scatter-add -- no host round-trips inside an iteration.
-  * the packed index is a dense (nlist, cap, D) tensor: every cluster
-    padded to the SAME capacity so a query is gather -> one einsum ->
-    one top_k with no dynamic shapes. Capacity overflow is handled at
-    build time by spilling posts to their next-best centroid (top-C
-    choices), keeping shapes static instead of chasing FAISS-style
-    variable-length lists that XLA cannot tile.
+  * the packed index is a dense (nlist + overflow, cap, D) tensor: every
+    cluster padded to the SAME capacity so a query is gather -> one
+    einsum -> one top_k with no dynamic shapes. Capacity overflow is
+    handled at build time by spilling posts to their next-best centroid
+    (top-C choices), keeping shapes static instead of chasing
+    FAISS-style variable-length lists that XLA cannot tile. Hot-topic
+    overflow beyond the choices is defused twice: capacity-aware k-means
+    splits clusters that exceed the packed capacity (centroid density
+    tracks data density), and whatever still spills lands in
+    always-probed overflow lists -- a small per-query latency cost
+    instead of the recall ceiling round-robin spill used to impose.
   * int8 mode reuses the exact-int32 MXU scoring contract from
     ops/similarity (per-row max-abs quantization; cosine is
     scale-invariant per row so only 1/||q|| sidecars survive).
@@ -49,12 +54,29 @@ def _l2norm(x, axis=-1, eps=1e-12):
 
 
 def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
-                     seed: int = 0, block: int = 65536) -> jnp.ndarray:
+                     seed: int = 0, block: int = 65536,
+                     cap_target: Optional[float] = None,
+                     balance_rounds: int = 6) -> jnp.ndarray:
     """K-means on the unit sphere (cosine assignment) -> (nlist, D) f32.
 
     Jitted Lloyd iterations; assignment never materializes the full
     (N, nlist) score matrix (blockwise argmax under lax.map). Empty
     clusters keep their previous centroid.
+
+    cap_target: capacity-aware refinement. Plain Lloyd under-splits hot
+    regions in few iterations, leaving clusters whose population exceeds
+    the packed capacity -- those posts get displaced to far choice
+    clusters or spilled, the measured recall ceiling on topic-clustered
+    corpora (recall@10 0.80 at nprobe 128 on the 4M/1024-topic probe).
+    With a target, up to `balance_rounds` extra rounds split every
+    cluster with count > cap_target into ceil(count/cap_target) copies
+    (tiny deterministic perturbations around the hot centroid, then one
+    Lloyd step to settle -- the settle step Voronoi-partitions the hot
+    cluster's members among the copies), donating the emptiest
+    centroids. Centroid density then tracks data density, so posts land
+    in their top choices and probes find them. Donors are only taken
+    while light (count < cap_target / 2): donating displaces a donor's
+    members into its neighbors, which must be able to absorb them.
     """
     n, d = embs.shape
     x = _l2norm(jnp.asarray(embs, jnp.float32))
@@ -76,11 +98,41 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
         sums = jnp.zeros((nlist, d), jnp.float32).at[a].add(x)
         cnt = jnp.zeros((nlist,), jnp.int32).at[a].add(1)
         new = jnp.where(cnt[:, None] > 0, _l2norm(sums), cents)
-        return new, a
+        return new, cnt
 
     cents = _l2norm(init)
+    cnt = None
     for _ in range(iters):
-        cents, _ = lloyd(cents, x, xp)
+        cents, cnt = lloyd(cents, x, xp)
+
+    if cap_target is not None and nlist > 1:
+        rng = np.random.RandomState(seed + 1)
+        for _ in range(balance_rounds):
+            counts = np.array(cnt)      # writable host copy
+            order = np.argsort(counts, kind="stable")     # light -> heavy
+            heavy = [int(c) for c in order[::-1]
+                     if counts[c] > cap_target]
+            if not heavy:
+                break
+            donors = [int(c) for c in order
+                      if counts[c] < cap_target / 2]
+            ch = np.array(cents)        # writable host copy
+            moved, di = False, 0
+            for over in heavy:
+                need = int(np.ceil(counts[over] / cap_target)) - 1
+                take = min(need, len(donors) - di)
+                if take <= 0:
+                    break               # donor pool exhausted this round
+                for _j in range(take):
+                    eps = rng.randn(d).astype(np.float32)
+                    eps *= 1e-3 / max(np.linalg.norm(eps), 1e-12)
+                    ch[donors[di]] = ch[over] + eps
+                    di += 1
+                    moved = True
+            if not moved:
+                break
+            cents, cnt = lloyd(
+                _l2norm(jnp.asarray(ch)), x, xp)   # settle the split
     return cents
 
 
@@ -110,24 +162,31 @@ def _top_choices(embs: jnp.ndarray, cents: jnp.ndarray, n_choices: int,
     return np.asarray(out).reshape(-1, n_choices)[:n]
 
 
-def balanced_assign(choices: np.ndarray, nlist: int, cap: int) -> np.ndarray:
+def balanced_assign(choices: np.ndarray, nlist: int, cap: int,
+                    spill: str = "round_robin") -> np.ndarray:
     """Host-side capacity-balanced assignment from per-post top-C choices.
 
     Round c: posts still unassigned bid for their c-th choice; within a
     cluster, bids are granted in post order until the remaining capacity
-    runs out (vectorized via a per-cluster running count). Posts that
-    exhaust all C choices are spilled round-robin into whatever clusters
-    still have room -- those become invisible to probes of their true
-    neighborhood, so the spill fraction is a RECALL CEILING. How large
-    it gets depends on corpus topology, not just cap: hot topics whose
-    population exceeds cap x (their centroid count) overflow all their
-    nearby choices (measured 2% spills at 4M posts over 1024 synthetic
-    topics with nlist=2048, vs ~0 on evenly-spread 1M). IVFIndex
-    surfaces it as .spill_frac / ivf_meta.json["spill_frac"]; mitigate
-    with more n_choices, larger cap, or topology-matched nlist.
+    runs out (vectorized via a per-cluster running count).
+
+    Posts that exhaust all C choices are handled per `spill`:
+      * "round_robin": into whatever clusters still have room -- those
+        become invisible to probes of their true neighborhood, so the
+        spill fraction is a RECALL CEILING (measured 2% spills at 4M
+        posts over 1024 synthetic topics with nlist=2048). Kept for the
+        historical layout; production builds use "overflow".
+      * "overflow": into virtual list ids nlist, nlist+1, ... (cap posts
+        each) that IVFIndex packs as ALWAYS-PROBED overflow lists --
+        spilled posts stay exactly searchable at any nprobe, eliminating
+        the spill recall ceiling for a per-query cost of n_overflow
+        extra scored lists. Capacity-aware k-means (spherical_kmeans
+        cap_target) keeps the overflow small in the first place.
     """
     n, n_choices = choices.shape
-    assert nlist * cap >= n, "capacity %d*%d < %d posts" % (nlist, cap, n)
+    if spill == "round_robin":
+        assert nlist * cap >= n, "capacity %d*%d < %d posts" % (
+            nlist, cap, n)
     assign = np.full(n, -1, np.int64)
     used = np.zeros(nlist, np.int64)
     for c in range(n_choices):
@@ -147,8 +206,11 @@ def balanced_assign(choices: np.ndarray, nlist: int, cap: int) -> np.ndarray:
         np.add.at(used, w_sorted[ok], 1)
     todo = np.nonzero(assign < 0)[0]
     if todo.size:
-        free_clusters = np.repeat(np.arange(nlist), cap - used)
-        assign[todo] = free_clusters[: todo.size]
+        if spill == "overflow":
+            assign[todo] = nlist + np.arange(todo.size) // cap
+        else:
+            free_clusters = np.repeat(np.arange(nlist), cap - used)
+            assign[todo] = free_clusters[: todo.size]
     return assign
 
 
@@ -157,13 +219,18 @@ class IVFIndex:
 
     build() -> an index holding:
       centroids   (nlist, D)  f32, unit rows
-      packed      (nlist, cap, D)  f32 or int8 rows (l2-normalized f32 /
-                  max-abs int8 of the normalized rows)
-      packed_idx  (nlist, cap) int32 original post index, -1 = empty slot
+      packed      (nlist + overflow_lists, cap, D)  f32 or int8 rows
+                  (l2-normalized f32 / max-abs int8 of the normalized
+                  rows); rows past nlist are the ALWAYS-PROBED overflow
+                  lists holding posts that exhausted their centroid
+                  choices at build time
+      packed_idx  (same leading dims, cap) int32 original post index,
+                  -1 = empty slot
 
-    query(q, k, nprobe): top-nprobe centroids by cosine, score only those
-    clusters' slots, exact top-k over the probed subset. nprobe=nlist
-    degrades gracefully to exact brute force over the packed layout.
+    query(q, k, nprobe): top-nprobe centroids by cosine plus every
+    overflow list, score only those lists' slots, exact top-k over the
+    probed subset. nprobe=nlist degrades gracefully to exact brute force
+    over the packed layout.
     """
 
     def __init__(self, centroids, packed, packed_idx, inv_norms=None):
@@ -172,11 +239,16 @@ class IVFIndex:
         self.packed_idx = jnp.asarray(packed_idx, jnp.int32)
         self.inv_norms = (None if inv_norms is None
                           else jnp.asarray(inv_norms, jnp.float32))
-        self.nlist, self.cap = self.packed_idx.shape
+        n_lists, self.cap = self.packed_idx.shape
+        self.nlist = int(self.centroids.shape[0])
+        # lists past the centroid count are overflow: probed on EVERY
+        # query, so build-time spill costs latency, never recall
+        self.overflow_lists = n_lists - self.nlist
         # fraction of posts that exhausted their top-C centroid choices
-        # at build time and were spilled round-robin (those are invisible
-        # to probes of their true neighborhood -- a recall ceiling).
-        # None when unknown (hand-constructed indexes).
+        # at build time. With overflow lists (the production build) they
+        # remain exactly searchable -- the fraction is a per-query cost
+        # (overflow_lists extra scored lists), no longer a recall
+        # ceiling. None when unknown (hand-constructed indexes).
         self.spill_frac = None
         # row count of the store this sidecar was built from: saved into
         # ivf_meta.json so PostIndex.ivf() can refuse a sidecar whose
@@ -205,10 +277,12 @@ class IVFIndex:
         # 0.60 ms per 1M-post query for cap 537 -> 544 (v5e-1)
         cap = -(-cap // 32) * 32
         x = jnp.asarray(post_embs, jnp.float32)
-        cents = spherical_kmeans(x, nlist, iters=iters, seed=seed)
+        cents = spherical_kmeans(x, nlist, iters=iters, seed=seed,
+                                 cap_target=cap)
         choices = _top_choices(x, cents, min(n_choices, nlist))
-        assign = balanced_assign(choices, nlist, cap)
-        spill_frac = float(np.mean(~(choices == assign[:, None]).any(1)))
+        assign = balanced_assign(choices, nlist, cap, spill="overflow")
+        spill_frac = float(np.mean(assign >= nlist))
+        n_lists = max(nlist, int(assign.max()) + 1)
 
         # device packing: only the (N, C) choices and the (N,) balanced
         # assignment cross the host boundary (a 1M x 1024 index never
@@ -217,18 +291,18 @@ class IVFIndex:
         @jax.jit
         def pack(x, assign):
             order = jnp.argsort(assign)                 # cluster-contiguous
-            counts = jnp.bincount(assign, length=nlist)
+            counts = jnp.bincount(assign, length=n_lists)
             starts = jnp.concatenate(
                 [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
             rows = assign[order]
             cols = jnp.arange(n) - starts[rows]
             slots = rows * cap + cols
             xn = _l2norm(x)
-            packed = jnp.zeros((nlist * cap, d), jnp.float32
+            packed = jnp.zeros((n_lists * cap, d), jnp.float32
                                ).at[slots].set(xn[order])
-            packed_idx = jnp.full((nlist * cap,), -1, jnp.int32
+            packed_idx = jnp.full((n_lists * cap,), -1, jnp.int32
                                   ).at[slots].set(order.astype(jnp.int32))
-            return packed, packed_idx.reshape(nlist, cap)
+            return packed, packed_idx.reshape(n_lists, cap)
 
         packed, packed_idx = pack(x, jnp.asarray(assign, jnp.int32))
         del x
@@ -236,8 +310,8 @@ class IVFIndex:
         if quantize == "int8":
             from fancyrec_tpu.ops.similarity import quantize_rows_int8
             packed, inv = jax.jit(quantize_rows_int8)(packed)
-            inv = inv.reshape(nlist, cap)
-        out = cls(cents, packed.reshape(nlist, cap, d), packed_idx, inv)
+            inv = inv.reshape(n_lists, cap)
+        out = cls(cents, packed.reshape(n_lists, cap, d), packed_idx, inv)
         out.spill_frac = spill_frac
         return out
 
@@ -291,8 +365,11 @@ class IVFIndex:
         train = np.concatenate(
             [np.asarray(row_source(lo, min(lo + step, n)), np.float32)
              for lo in starts])[:train_rows]
+        # the capacity target scales to the sample: a cluster holding s
+        # sample rows holds ~s * n / len(train) corpus rows
         cents = spherical_kmeans(jnp.asarray(train), nlist, iters=iters,
-                                 seed=seed)
+                                 seed=seed,
+                                 cap_target=cap * len(train) / n)
         del train
 
         # ---- per-row top-C choices, streamed ----
@@ -301,12 +378,13 @@ class IVFIndex:
                 jnp.asarray(row_source(lo, min(lo + chunk, n)), jnp.float32),
                 cents, min(n_choices, nlist)))
             for lo in range(0, n, chunk)])
-        assign = balanced_assign(choices, nlist, cap)
-        spill_frac = float(np.mean(~(choices == assign[:, None]).any(1)))
+        assign = balanced_assign(choices, nlist, cap, spill="overflow")
+        spill_frac = float(np.mean(assign >= nlist))
+        n_lists = max(nlist, int(assign.max()) + 1)
 
         # ---- slot per global row (same math as build()'s pack, host) --
         order = np.argsort(assign, kind="stable")
-        counts = np.bincount(assign, minlength=nlist)
+        counts = np.bincount(assign, minlength=n_lists)
         starts_c = np.concatenate([[0], np.cumsum(counts)[:-1]])
         rows_srt = assign[order]
         cols = np.arange(n) - starts_c[rows_srt]
@@ -315,9 +393,9 @@ class IVFIndex:
 
         # ---- streamed scatter into the packed device buffer ----------
         int8 = quantize == "int8"
-        packed = jnp.zeros((nlist * cap, d),
+        packed = jnp.zeros((n_lists * cap, d),
                            jnp.int8 if int8 else jnp.float32)
-        inv_host = np.zeros(nlist * cap, np.float32) if int8 else None
+        inv_host = np.zeros(n_lists * cap, np.float32) if int8 else None
 
         @partial(jax.jit, donate_argnums=0)
         def scatter(packed, rows, slots):
@@ -336,11 +414,11 @@ class IVFIndex:
             if int8:
                 inv_host[slot_of[lo:hi]] = np.asarray(qinv)
 
-        packed_idx = np.full(nlist * cap, -1, np.int32)
+        packed_idx = np.full(n_lists * cap, -1, np.int32)
         packed_idx[slot_of] = np.arange(n, dtype=np.int32)
-        inv = (jnp.asarray(inv_host.reshape(nlist, cap)) if int8 else None)
-        out = cls(cents, packed.reshape(nlist, cap, d),
-                  packed_idx.reshape(nlist, cap), inv)
+        inv = (jnp.asarray(inv_host.reshape(n_lists, cap)) if int8 else None)
+        out = cls(cents, packed.reshape(n_lists, cap, d),
+                  packed_idx.reshape(n_lists, cap), inv)
         out.spill_frac = spill_frac
         return out
 
@@ -352,11 +430,18 @@ class IVFIndex:
         if fn is not None:
             return fn
         cap, nlist = self.cap, self.nlist
+        n_over = self.overflow_lists
         int8 = self.packed.dtype == jnp.int8
 
         def one_query(q, packed, packed_idx, cents, inv):
             cscore = cents @ q                              # (nlist,)
             _, probe = jax.lax.top_k(cscore, nprobe)        # (nprobe,)
+            if n_over:
+                # overflow lists hold build-time spill; probing them on
+                # every query keeps spilled posts exactly searchable
+                probe = jnp.concatenate(
+                    [probe, jnp.arange(nlist, nlist + n_over,
+                                       dtype=probe.dtype)])
             if int8:
                 # exact-int32 MXU contract (ops/similarity
                 # quantize_rows_int8): cosine of the quantized vectors =
@@ -393,7 +478,7 @@ class IVFIndex:
             _, (scores, idxs) = jax.lax.scan(body, None, probe)
             s = scores.reshape(-1)
             s = jnp.where(idxs.reshape(-1) < 0, -jnp.inf, s)
-            vals, local = jax.lax.top_k(s, min(k, nprobe * cap))
+            vals, local = jax.lax.top_k(s, min(k, (nprobe + n_over) * cap))
             out_idx = idxs.reshape(-1)[local]
             if k > vals.shape[0]:
                 padlen = k - vals.shape[0]
@@ -434,6 +519,7 @@ class IVFIndex:
                 np.asarray(self.packed_idx))
         np.asarray(self.packed).tofile(os.path.join(path, "packed.bin"))
         meta = {"nlist": int(self.nlist), "cap": int(self.cap),
+                "overflow_lists": int(self.overflow_lists),
                 "spill_frac": self.spill_frac,
                 "dim": int(self.packed.shape[-1]),
                 "dtype": str(np.dtype(np.asarray(self.packed).dtype))}
@@ -451,7 +537,8 @@ class IVFIndex:
             meta = json.loads(f.read())
         packed = np.fromfile(os.path.join(path, "packed.bin"),
                              np.dtype(meta["dtype"]))
-        packed = packed.reshape(meta["nlist"], meta["cap"], meta["dim"])
+        n_lists = meta["nlist"] + meta.get("overflow_lists", 0)
+        packed = packed.reshape(n_lists, meta["cap"], meta["dim"])
         inv_path = os.path.join(path, "inv_norms.npy")
         inv = np.load(inv_path) if os.path.exists(inv_path) else None
         out = cls(np.load(os.path.join(path, "centroids.npy")), packed,

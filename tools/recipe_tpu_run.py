@@ -26,6 +26,14 @@ fixture's posts are 1-frame images and 6-frame videos with short
 captions, so batches slice from the static (64, 128) pad down to
 (1|8, 16|32) -- less transfer over the host->device link AND less BiGRU/
 BERT work per step. Same quality bar as fast.
+
+`b256` is the large-batch throughput mode: batch 256 x accum 1 with
+bf16 towers/staging, buckets, length grouping, and the rbg PRNG all
+composed (6,365 posts/s device-resident on the v5e vs 2,541 at b64 --
+bench.py train_bucketed 256). 4x the posts per optimizer update means
+4x fewer updates per epoch, so the mode scales the LR 2x (sqrt rule)
+and trains a 4x-larger synthetic tree (51 brands x 20 posts) to keep
+the update count comparable; quality bar unchanged (tester AUC ~1.0).
 """
 
 import json
@@ -39,8 +47,11 @@ def main():
     fast = "fast" in argv
     bucketed = "bucketed" in argv
     rbg = "rbg" in argv
+    b256 = "b256" in argv
+    if b256:
+        bucketed = rbg = True       # the composed large-batch mode
     fast = fast or bucketed or rbg
-    argv = [a for a in argv if a not in ("fast", "bucketed", "rbg")]
+    argv = [a for a in argv if a not in ("fast", "bucketed", "rbg", "b256")]
     workdir = argv[0] if argv else "/tmp/fancyrec_recipe_run"
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
@@ -48,18 +59,26 @@ def main():
     from fancyrec_tpu.train import trainer
     from fancyrec_tpu.eval import tester
 
-    root = os.path.join(workdir, "root")
+    # b256 consumes 256 posts per update: give it a 4x tree (20 posts per
+    # brand vs 6) so an epoch still holds several optimizer updates
+    root = os.path.join(workdir, "root_b256" if b256 else "root")
     if not os.path.exists(os.path.join(root, "cls.txt")):
-        make_fixture(root, brand_num=51, videos_per_brand=3, imgs_per_brand=3,
+        per_brand = (8, 12) if b256 else (3, 3)
+        make_fixture(root, brand_num=51, videos_per_brand=per_brand[0],
+                     imgs_per_brand=per_brand[1],
                      feat_dim=2048, frames_per_video=6, seed=0,
                      video_feature="resnet152_dim_2048",
                      img_feature="imgfeat_dim_2048")
     print("fixture ready at", root, flush=True)
 
-    mode_flags = (["--batch_size", "64", "--accumulation_step", "1",
-                   "--dtype", "bfloat16", "--transfer_dtype", "bfloat16"]
-                  if fast else
-                  ["--batch_size", "8", "--accumulation_step", "8"])
+    if b256:
+        mode_flags = ["--batch_size", "256", "--accumulation_step", "1",
+                      "--dtype", "bfloat16", "--transfer_dtype", "bfloat16"]
+    elif fast:
+        mode_flags = ["--batch_size", "64", "--accumulation_step", "1",
+                      "--dtype", "bfloat16", "--transfer_dtype", "bfloat16"]
+    else:
+        mode_flags = ["--batch_size", "8", "--accumulation_step", "8"]
     if bucketed:
         mode_flags += ["--token_buckets", "16,32", "--frame_buckets", "1,8",
                        "--length_grouped", "1"]
@@ -69,7 +88,9 @@ def main():
     # their historical names (logdirs and printed JSON lines from prior
     # rounds stay comparable); only the combined `bucketed rbg` run gets
     # a composed name instead of mislabeling itself as bucketed-only.
-    if bucketed and rbg:
+    if b256:
+        postfix, mode_name = "recipe_tpu_b256", "b256_bf16_bucketed_rbg"
+    elif bucketed and rbg:
         postfix, mode_name = "recipe_tpu_bucketed_rbg", "bucketed_b64_bf16_rbg"
     elif bucketed:
         postfix, mode_name = "recipe_tpu_bucketed", "bucketed_b64_bf16"
@@ -91,7 +112,8 @@ def main():
         "--text_net", "transformers", "--fusion_style", "ph",
         "--loss_fun", "cl", "--cost_style", "mean",
         "--text_norm", "--visual_norm", "--concate", "full",
-        "--learning_rate", "0.0001", "--num_epochs", "2",
+        "--learning_rate", "0.0002" if b256 else "0.0001",
+        "--num_epochs", "2",
         "--overwrite", "1", "--postfix", postfix,
         "--metric", "auc", "--measure", "cosine", "--margin", "0.2",
     ] + mode_flags)
