@@ -519,6 +519,9 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
                              dtype="bfloat16").items()})
     run("train_bucketed", lambda: {
         k: round(v, 4) for k, v in bench_train_bucketed().items()})
+    run("train_bucketed_b256_bf16_rbg", lambda: {
+        k: round(v, 4) for k, v in bench_train_bucketed(
+            batch_size=256, dtype="bfloat16", rng_impl="rbg").items()})
     run("retrieval_1m_mposts_per_sec",
         lambda: round(bench_retrieval() / 1e6, 2))
     run("retrieval_1m_int8_mposts_per_sec",
@@ -588,6 +591,11 @@ def _emit_round_lines(results: dict, artifact_path: str) -> None:
     line("train_step_throughput_bucketed_inscar_mix",
          get("train_bucketed", "bucketed_posts_per_sec"), "posts/sec/chip",
          speedup_vs_static_pad=get("train_bucketed", "speedup"))
+    line("train_step_throughput_bucketed_b256_bf16_rbg",
+         get("train_bucketed_b256_bf16_rbg", "bucketed_posts_per_sec"),
+         "posts/sec/chip",
+         speedup_vs_static_pad=get("train_bucketed_b256_bf16_rbg",
+                                   "speedup"))
     line("retrieval_topk_1m_posts",
          get("retrieval_1m_mposts_per_sec"), "Mposts/sec/chip")
     line("retrieval_topk_1m_posts_int8",

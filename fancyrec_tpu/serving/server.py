@@ -26,6 +26,15 @@ runs under one lock -- concurrent TPU entry from multiple threads can
 wedge the chip (CLAUDE.md "Concurrency hazard"). The HTTP layer is
 threaded so /healthz stays responsive during a long query.
 
+Concurrency: /v1/topk requests that arrive while the device is busy are
+COALESCED -- one waiter drains every same-(k, nprobe) pending request
+into a single batched index.query, so 8 concurrent clients cost ~one
+query latency, not eight (leader-follower, _TopkCoalescer; /metrics
+reports requests vs device_calls). /v1/encode stays a direct call:
+exported artifacts may be fixed-batch (concatenating request bodies
+would change the compiled shape), and encode bodies are MBs of frames
+where request parsing, not the device, dominates.
+
 CLI: fancyrec-serve INDEX_DIR [--artifact DIR] [--port 8080]
                     [--quantize int8] [--default_nprobe 0]
                     [--mesh_shape auto]   (shard the resident posts over
@@ -112,12 +121,107 @@ class _RouteStats:
                     "routes": routes}
 
 
+class _Request:
+    __slots__ = ("brand_ids", "k", "nprobe", "done", "result", "error")
+
+    def __init__(self, brand_ids, k, nprobe):
+        self.brand_ids = brand_ids
+        self.k, self.nprobe = k, nprobe
+        self.done = False
+        self.result = self.error = None
+
+
+class _TopkCoalescer:
+    """Leader-follower micro-batching for concurrent top-k requests.
+
+    The device admits one query at a time (the single-flight lock), so N
+    concurrent clients used to queue FIFO: N kernel dispatches, the last
+    client waiting N full latencies. Here requests that arrive while the
+    device is busy pend; when it frees, ONE waiter (the leader) drains
+    every pending request with the same (k, nprobe) into a single
+    index.query over the concatenated brand ids -- the kernel is batched
+    over query rows, so 8 coalesced requests cost roughly one query
+    latency instead of eight. Results slice back per request; errors
+    propagate to every member of the failed batch. No background thread,
+    no added latency when traffic is serial (a lone request becomes
+    leader immediately and runs a batch of one).
+    """
+
+    def __init__(self, run_fn, device_lock, max_batch: int = 256):
+        self._run = run_fn          # (brand_ids, k, nprobe) -> (vals, names)
+        self._dlock = device_lock
+        self._cv = threading.Condition()
+        self._pending = []
+        self._busy = False
+        self.max_batch = max_batch
+        # observability (read under the cv): device calls vs requests --
+        # calls < requests means coalescing actually fired
+        self.device_calls = 0
+        self.requests = 0
+
+    def query(self, brand_ids, k: int, nprobe: int):
+        req = _Request(list(brand_ids), k, nprobe)
+        with self._cv:
+            self._pending.append(req)
+            self.requests += 1
+            while True:
+                if req.done:
+                    break               # a leader served us while waiting
+                if not self._busy:
+                    break               # become the leader
+                self._cv.wait()
+            if req.done:
+                if req.error is not None:
+                    raise req.error
+                return req.result
+            self._busy = True
+            batch, total = [], 0
+            for r in self._pending:
+                if r.k != k or r.nprobe != nprobe:
+                    continue
+                if batch and total + len(r.brand_ids) > self.max_batch:
+                    break
+                batch.append(r)
+                total += len(r.brand_ids)
+            for r in batch:
+                self._pending.remove(r)
+            self.device_calls += 1
+        try:
+            all_ids = [b for r in batch for b in r.brand_ids]
+            with self._dlock:
+                vals, names = self._run(all_ids, k, nprobe)
+            off = 0
+            for r in batch:
+                n = len(r.brand_ids)
+                r.result = (vals[off:off + n], names[off:off + n])
+                off += n
+        except Exception as e:  # noqa: BLE001 -- deliver to every waiter
+            for r in batch:
+                r.error = e
+        finally:
+            with self._cv:
+                for r in batch:
+                    r.done = True
+                self._busy = False
+                self._cv.notify_all()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def snapshot(self) -> dict:
+        with self._cv:
+            return {"requests": self.requests,
+                    "device_calls": self.device_calls,
+                    "coalesced": self.requests - self.device_calls}
+
+
 class FancyRecService:
     """The transport-free serving core (used directly by tests/embeds)."""
 
     def __init__(self, index_dir: str, artifact_dir: Optional[str] = None,
                  quantize: str = "", default_nprobe: int = 0,
-                 device_resident: bool = True, mesh=None):
+                 device_resident: bool = True, mesh=None,
+                 coalesce: bool = True):
         from fancyrec_tpu.serving.index import PostIndex
 
         self._lock = threading.Lock()          # serialize all device work
@@ -126,6 +230,11 @@ class FancyRecService:
         self._index_dir = index_dir
         self.default_nprobe = default_nprobe
         self.stats = _RouteStats()
+        # /v1/topk coalescing: index.query resolved at call time so tests
+        # (and /v1/add refreshes) that rebind the index still take effect
+        self._coalescer = _TopkCoalescer(
+            lambda ids, k, npb: self.index.query(ids, k=k, nprobe=npb),
+            self._lock) if coalesce else None
         self.model = None
         if artifact_dir:
             from fancyrec_tpu.serving.export import ExportedModel
@@ -158,8 +267,12 @@ class FancyRecService:
                              % (n_brands, bad))
         k = _positive_k(body)
         nprobe = _nonneg_int(body, "nprobe", self.default_nprobe)
-        with self._lock:
-            vals, names = self.index.query(brand_ids, k=k, nprobe=nprobe)
+        if self._coalescer is not None:
+            vals, names = self._coalescer.query(brand_ids, k, nprobe)
+        else:
+            with self._lock:
+                vals, names = self.index.query(brand_ids, k=k,
+                                               nprobe=nprobe)
         return {"results": [
             {"brand": int(b),
              "posts": [{"cap_id": n, "score": float(v)}
@@ -239,7 +352,10 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             return self._reply(200, self.service.healthz())
         if self.path == "/metrics":
-            return self._reply(200, self.service.stats.snapshot())
+            snap = self.service.stats.snapshot()
+            if self.service._coalescer is not None:
+                snap["topk_coalescing"] = self.service._coalescer.snapshot()
+            return self._reply(200, snap)
         return self._reply(404, {"error": "not found: %s" % self.path})
 
     def do_POST(self):

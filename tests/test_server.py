@@ -169,6 +169,103 @@ def test_metrics_endpoint(served):
     assert 0 <= topk["p50_ms"] <= topk["p99_ms"]
 
 
+def test_topk_coalescing_under_concurrency(tmp_path):
+    """8 threads hammering /v1/topk while the device is deliberately slow:
+    results must be identical to serial requests, and /metrics must show
+    fewer device calls than requests (the coalescer actually batched).
+    Mixed (k, nprobe) keys must never merge."""
+    import time
+
+    idx_dir = str(tmp_path / "index")
+    _toy_index(idx_dir, n_posts=40, dim=16, brand_num=4, seed=0)
+    service = FancyRecService(idx_dir)
+    server = make_server(service, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_port
+        # serial ground truth, recorded before the slowdown
+        bodies = [{"brand_ids": [i % 4, (i + 1) % 4], "k": 5}
+                  for i in range(8)]
+        want = [_req(port, "POST", "/v1/topk", b)[1] for b in bodies]
+
+        orig = service.index.query
+
+        def slow_query(ids, k=10, nprobe=0):
+            time.sleep(0.05)           # hold the device: forces pending
+            return orig(ids, k=k, nprobe=nprobe)
+
+        service.index.query = slow_query
+        calls_before = service._coalescer.snapshot()
+
+        got = [None] * 8
+        def hammer(i):
+            got[i] = _req(port, "POST", "/v1/topk", bodies[i])[1]
+        threads = [threading.Thread(target=hammer, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+
+        assert got == want              # byte-identical JSON payloads
+        snap = service._coalescer.snapshot()
+        new_req = snap["requests"] - calls_before["requests"]
+        new_calls = snap["device_calls"] - calls_before["device_calls"]
+        assert new_req == 8
+        assert new_calls < new_req, (new_calls, new_req)   # batched!
+
+        # a different k must not ride in the same batch: fire k=5 and k=3
+        # concurrently and verify both come back right
+        res = {}
+        def mixed(k):
+            res[k] = _req(port, "POST", "/v1/topk",
+                          {"brand_ids": [0], "k": k})[1]
+        ts = [threading.Thread(target=mixed, args=(k,)) for k in (5, 3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert len(res[5]["results"][0]["posts"]) == 5
+        assert len(res[3]["results"][0]["posts"]) == 3
+
+        # /metrics surfaces the coalescing counters
+        m = _req(port, "GET", "/metrics")[1]
+        assert m["topk_coalescing"]["requests"] >= 10
+        service.index.query = orig
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+
+
+def test_coalesced_error_propagates_to_every_waiter(tmp_path):
+    """A failing batched device call must 500 every member of the batch,
+    not hang followers."""
+    import time
+
+    idx_dir = str(tmp_path / "index")
+    _toy_index(idx_dir, n_posts=10, dim=8, brand_num=2, seed=1)
+    service = FancyRecService(idx_dir)
+
+    def boom(ids, k=10, nprobe=0):
+        time.sleep(0.02)
+        raise RuntimeError("chip fell over")
+
+    service.index.query = boom
+    errs = []
+    def call():
+        try:
+            service.topk({"brand_ids": [0], "k": 2})
+        except RuntimeError as e:
+            errs.append(str(e))
+    threads = [threading.Thread(target=call) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert errs == ["chip fell over"] * 4
+
+
 def test_service_on_device_mesh(tmp_path):
     """--mesh_shape serving: a FancyRecService whose index shards the
     resident posts over the local device mesh must answer /v1/topk
