@@ -4,11 +4,14 @@ epoch checkpoint instead of refusing or starting over."""
 import json
 import os
 
+import pytest
+
 from fancyrec_tpu.utils.fixture import make_fixture
 from fancyrec_tpu.train import trainer
 from tests.test_e2e import COMMON_ARGS
 
 
+@pytest.mark.slow
 def test_auto_resume_continues_from_latest(tmp_path):
     root = str(tmp_path)
     make_fixture(root, brand_num=3, videos_per_brand=4, imgs_per_brand=4,

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 from fancyrec_tpu.models.bert import BertConfig, BertEncoder
 
+# the module fixture alone (HF BertModel construction + state-dict shim)
+# costs ~60 s on the 1-core box; the whole oracle belongs to the full tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def small_pair():

@@ -145,6 +145,7 @@ def test_loader_window_grouping_localizes_lengths():
 
 # ---------------------------------------------------- model exactness --
 
+@pytest.mark.slow
 def test_encode_bucketed_matches_full_pad():
     """Eval forward on the bucket-sliced batch == the full static pad.
 
@@ -175,6 +176,7 @@ def test_encode_bucketed_matches_full_pad():
     np.testing.assert_allclose(full, bucketed, rtol=0, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_train_step_a1_fast_path_matches_manual():
     """A=1 skips the accumulation scan; the update must equal the manual
     grad_fn + optimizer application with the identical rng split."""
@@ -218,6 +220,7 @@ def test_train_step_a1_fast_path_matches_manual():
 
 # ------------------------------------------------------------- e2e ----
 
+@pytest.mark.slow
 def test_train_e2e_bucketed(tmp_path):
     """Full trainer CLI with buckets + length-grouped batching learns the
     fixture's brand signal and the tester reproduces it (the tester picks
@@ -300,6 +303,7 @@ def test_encode_bucketed_under_mesh_matches_single_device():
     np.testing.assert_allclose(single, sharded, rtol=0, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_bert_remat_is_numerically_transparent():
     """--bert_remat recomputes BERT-layer activations in the backward
     (jax.checkpoint) instead of storing them: ~1/num_layers the

@@ -200,6 +200,7 @@ def _synthetic_torchvision_resnet152_sd():
     return sd
 
 
+@pytest.mark.slow
 def test_resnet152_torch_import_full_key_coverage():
     """params_from_torch over a full-size synthetic torchvision state dict:
     consumes every key except the classifier head and BN bookkeeping, and
@@ -223,6 +224,7 @@ def test_resnet152_torch_import_full_key_coverage():
     assert got_paths == want_paths
 
 
+@pytest.mark.slow
 def test_bert_torch_import_full_key_coverage():
     """BertEncoder.params_from_torch over a full-size randomly initialized
     HF bert-base-uncased BertModel: the 3-layer truncation consumes every

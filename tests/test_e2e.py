@@ -30,6 +30,7 @@ def root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_then_test_bigru_cl(root):
     best = trainer.main(COMMON_ARGS + [
         "--rootpath", root, "--postfix", "run_bigru",
@@ -47,6 +48,7 @@ def test_train_then_test_bigru_cl(root):
     assert m.auc > 0.8
 
 
+@pytest.mark.slow
 def test_train_bf16_transfer_staging(root):
     """--transfer_dtype bfloat16 ships float batch arrays half-width over
     the host->device link; the step upcasts on device. Training must
@@ -60,6 +62,7 @@ def test_train_bf16_transfer_staging(root):
     assert best > 450, best
 
 
+@pytest.mark.slow
 def test_train_transformers_cl(root):
     best = trainer.main(COMMON_ARGS + [
         "--rootpath", root, "--postfix", "run_tf",
@@ -70,6 +73,7 @@ def test_train_transformers_cl(root):
     assert best > 420, best
 
 
+@pytest.mark.slow
 def test_train_mrl_loss_runs(root):
     """mrl converges slower; just require clear above-chance learning."""
     best = trainer.main(COMMON_ARGS + [
@@ -91,6 +95,7 @@ def test_resume_from_checkpoint(root):
     assert best > 450, best
 
 
+@pytest.mark.slow
 def test_train_bfloat16_towers(root):
     """bf16 compute dtype trains and evaluates sanely."""
     best = trainer.main(COMMON_ARGS + [
@@ -102,6 +107,7 @@ def test_train_bfloat16_towers(root):
     assert best > 400, best
 
 
+@pytest.mark.slow
 def test_train_rbg_rng_bf16_bert(root):
     """--rng_impl rbg (hardware-backed dropout PRNG; a different but
     equally distributed stream than threefry) together with the bf16
@@ -130,6 +136,7 @@ def test_validate_split_val_fix(root):
                                        "model_best.pth.tar"))
 
 
+@pytest.mark.slow
 def test_profile_dir_captures_trace(root, tmp_path):
     """--profile_dir writes an XProf trace of epoch 1."""
     prof = str(tmp_path / "prof")

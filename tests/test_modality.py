@@ -41,6 +41,7 @@ def _cfg(root):
     return cfg, bow, rnn
 
 
+@pytest.mark.slow
 def test_vis_and_txt_datasets_encode(root):
     cfg, bow, rnn = _cfg(root)
     model, state = init_state(cfg)

@@ -10,6 +10,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -17,6 +18,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # asserts finite loss internally
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_subprocess():
     """The driver calls dryrun_multichip under the real 1-chip axon backend;
     it must re-exec itself onto a virtual CPU mesh rather than assert.
@@ -75,6 +77,7 @@ def test_param_shardings_rules():
     assert sh["misc"]["w"].spec == P()
 
 
+@pytest.mark.slow
 def test_distributed_eval_matches_single_device():
     """Sharded brands x posts similarity + metrics == single-device result."""
     if len(jax.devices()) < 8:
@@ -102,6 +105,7 @@ def test_distributed_eval_matches_single_device():
         np.testing.assert_allclose(float(a), float(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_cli_mesh_end_to_end(tmp_path):
     """`fancyrec-train ... --mesh_shape 4,2` must train end-to-end on the
     virtual 8-device mesh from the CLI (the production wiring, not just the
@@ -140,6 +144,7 @@ def test_trainer_cli_mesh_end_to_end(tmp_path):
                                        "model_best.pth.tar"))
 
 
+@pytest.mark.slow
 def test_trainer_cli_pipeline_parallel_matches_pp_off(tmp_path):
     """`fancyrec-train ... --pp_stages 2` runs the production trainer with
     the BERT stack GPipe-pipelined over the 'model' axis and reproduces
@@ -200,6 +205,7 @@ def test_pp_stages_config_validation():
     Config(**{**base, "pp_stages": 2, "mesh_shape": "2,2"}).finalize()
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded():
     """One full train step: dp+tp+sp sharded over the 8-device mesh must
     produce the same loss and parameters as the single-device run."""

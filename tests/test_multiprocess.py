@@ -33,6 +33,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_distributed_trainer(tmp_path):
     from fancyrec_tpu.utils.fixture import make_fixture
 

@@ -126,6 +126,7 @@ def test_bert_pipeline_matches_sequential_encoder():
                               mesh=mesh, axis="model")
 
 
+@pytest.mark.slow
 def test_bert_pipeline_stochastic_dropout():
     """Training path: deterministic=False + rng draws real dropout masks
     inside the pipelined layers. Contracts: reproducible given the key;
@@ -183,6 +184,7 @@ def test_bert_pipeline_stochastic_dropout():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_bert_pipeline_bf16_bounded_divergence():
     """bf16 compute: the pipelined residual stream is uniformly bf16
     between layers while the sequential encoder carries f32 LayerNorm

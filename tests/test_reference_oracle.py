@@ -238,7 +238,9 @@ def _ref_opt(fusion_style="ph", concate="full", level_vis="1+2+3"):
 
 
 @pytest.mark.parametrize("fusion_style,concate,level_vis", [
-    ("ph", "full", "1+2+3"),
+    # the full-ablation case is ~12 s (first-compile heavy) -> slow tier;
+    # the remaining four keep the bigru oracle in the default loop
+    pytest.param("ph", "full", "1+2+3", marks=pytest.mark.slow),
     ("fc", "full", "1+2+3"),
     ("attn", "full", "1+2+3"),      # bilinear cross-modal fusion, no MFC
     ("ph", "reduced", "2+3"),

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from fancyrec_tpu.serving.index import PostIndex, build_index, main as index_main
 from fancyrec_tpu.utils.fixture import make_fixture
@@ -11,6 +12,7 @@ from fancyrec_tpu.train import trainer
 from tests.test_e2e import COMMON_ARGS
 
 
+@pytest.mark.slow
 def test_build_and_query_index(tmp_path, capsys):
     root = str(tmp_path)
     make_fixture(root, brand_num=3, videos_per_brand=4, imgs_per_brand=4,

@@ -144,6 +144,7 @@ def test_int8_topk_recovers_f32_ranking_on_separated_data():
     np.testing.assert_allclose(np.asarray(qv), np.asarray(fv), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_int8_distributed_matches_single_device():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
