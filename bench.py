@@ -399,41 +399,52 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
     return result
 
 
+def _synthetic_index_dir(tmp: str, n_posts: int, dim: int) -> str:
+    """Write a minimal on-disk index whose resident posts get swapped for
+    a device-generated synthetic corpus (a 4 GB host->device transfer
+    over the tunnel would swamp any measurement)."""
+    from fancyrec_tpu.io.bigfile import BigFileWriter
+
+    idx_dir = os.path.join(tmp, "idx")
+    rng = np.random.RandomState(0)
+    with BigFileWriter(idx_dir, ndims=dim, delimiter="\t") as w:
+        w.write_batch(["seed%d" % i for i in range(8)],
+                      rng.randn(8, dim).astype(np.float32))
+    np.save(os.path.join(idx_dir, "brands.npy"), np.zeros(8, np.int32))
+    np.save(os.path.join(idx_dir, "brand_embeddings.npy"),
+            rng.randn(51, dim).astype(np.float32))
+    with open(os.path.join(idx_dir, "index_meta.json"), "w") as f:
+        f.write(json.dumps({"collection": "bench", "checkpoint": "none",
+                            "brand_num": 51, "dim": dim,
+                            "n_posts": n_posts}))
+    return idx_dir
+
+
+def _swap_synthetic_posts(index, n_posts: int, dim: int, quantize: str):
+    key = jax.random.PRNGKey(0)
+    posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
+    if quantize == "int8":
+        from fancyrec_tpu.ops.similarity import quantize_rows_int8
+        index._posts, index._posts_inv = jax.jit(quantize_rows_int8)(posts)
+    else:
+        index._posts = posts
+    index.n_posts = n_posts
+    index.cap_ids = ["p%d" % i for i in range(n_posts)]
+
+
 def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
                   iters: int = 20, quantize: str = "") -> dict:
     """End-to-end PostIndex.query latency at 1M posts: the jit-cached
     streaming top-k plus host-side id mapping. Posts are generated on
-    device (a 4 GB host->device transfer over the tunnel would swamp the
-    measurement); the on-disk plumbing is covered by tests."""
+    device; the on-disk plumbing is covered by tests."""
     import tempfile
 
-    from fancyrec_tpu.io.bigfile import BigFileWriter
     from fancyrec_tpu.serving.index import PostIndex
 
     with tempfile.TemporaryDirectory() as tmp:
-        idx_dir = os.path.join(tmp, "idx")
-        rng = np.random.RandomState(0)
-        with BigFileWriter(idx_dir, ndims=dim, delimiter="\t") as w:
-            w.write_batch(["seed%d" % i for i in range(8)],
-                          rng.randn(8, dim).astype(np.float32))
-        np.save(os.path.join(idx_dir, "brands.npy"), np.zeros(8, np.int32))
-        np.save(os.path.join(idx_dir, "brand_embeddings.npy"),
-                rng.randn(51, dim).astype(np.float32))
-        with open(os.path.join(idx_dir, "index_meta.json"), "w") as f:
-            f.write(json.dumps({"collection": "bench", "checkpoint": "none",
-                                "brand_num": 51, "dim": dim,
-                                "n_posts": n_posts}))
+        idx_dir = _synthetic_index_dir(tmp, n_posts, dim)
         index = PostIndex(idx_dir, device_resident=False, quantize=quantize)
-        # swap in a device-resident synthetic 1M-post corpus
-        key = jax.random.PRNGKey(0)
-        posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
-        if quantize == "int8":
-            from fancyrec_tpu.ops.similarity import quantize_rows_int8
-            index._posts, index._posts_inv = jax.jit(quantize_rows_int8)(posts)
-        else:
-            index._posts = posts
-        index.n_posts = n_posts
-        index.cap_ids = ["p%d" % i for i in range(n_posts)]
+        _swap_synthetic_posts(index, n_posts, dim, quantize)
 
         _ = index.query(list(range(51)), k=k)      # compile + cache
         t0 = time.perf_counter()
@@ -441,6 +452,91 @@ def bench_serving(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
             vals, names = index.query(list(range(51)), k=k)
         dt = (time.perf_counter() - t0) / iters
     return {"query_latency_ms": dt * 1e3, "n_posts": n_posts, "k": k}
+
+
+def bench_serving_concurrent(n_posts: int = 1_000_000, dim: int = 1024,
+                             k: int = 10, clients: int = 8,
+                             reqs_per_client: int = 12,
+                             quantize: str = "int8") -> dict:
+    """p50/p99 of /v1/topk under concurrent load, coalescing OFF vs ON,
+    through the real HTTP server over sockets (VERDICT r3 #5's measured
+    number). `clients` threads each fire `reqs_per_client` sequential
+    all-brand queries; latency is client-observed wall time per request.
+    With coalescing off every request serializes behind the device lock
+    (p99 ~= clients x single-query latency); with it on, pending requests
+    merge into one padded batched kernel call."""
+    import http.client
+    import tempfile
+    import threading
+
+    from fancyrec_tpu.serving.server import FancyRecService, make_server
+
+    def load_pass(service) -> dict:
+        server = make_server(service, port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        port = server.server_port
+        body = json.dumps({"brand_ids": list(range(51)), "k": k})
+        lats, errs = [], []
+        lock = threading.Lock()
+
+        def client():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            mine = []
+            try:
+                for _ in range(reqs_per_client):
+                    t0 = time.perf_counter()
+                    conn.request("POST", "/v1/topk", body,
+                                 {"Content-Type": "application/json"})
+                    resp = conn.getresponse()
+                    resp.read()
+                    mine.append((time.perf_counter() - t0) * 1e3)
+                    if resp.status != 200:
+                        errs.append(resp.status)
+            finally:
+                conn.close()
+            with lock:
+                lats.extend(mine)
+
+        try:
+            # warm: compile the lone-leader (51-row) and the coalesced
+            # padded shapes outside the timed window
+            for ids_n in (51, 128, 256):
+                ids = [i % 51 for i in range(ids_n)]
+                service.index.query(ids, k=k)
+            threads = [threading.Thread(target=client)
+                       for _ in range(clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+        finally:
+            server.shutdown()
+            thread.join(timeout=10)
+        assert not errs, errs
+        lats.sort()
+        q = lambda p: lats[min(int(p * len(lats)), len(lats) - 1)]
+        out = {"p50_ms": q(0.50), "p99_ms": q(0.99),
+               "req_per_sec": len(lats) / wall}
+        if service._coalescer is not None:
+            out.update(service._coalescer.snapshot())
+        return out
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx_dir = _synthetic_index_dir(tmp, n_posts, dim)
+        results = {}
+        for name, coalesce in (("serial_lock", False), ("coalesced", True)):
+            service = FancyRecService(idx_dir, device_resident=False,
+                                      quantize=quantize, coalesce=coalesce)
+            _swap_synthetic_posts(service.index, n_posts, dim, quantize)
+            results[name] = load_pass(service)
+    results["p99_speedup"] = (results["serial_lock"]["p99_ms"]
+                              / results["coalesced"]["p99_ms"])
+    results["clients"] = clients
+    results["n_posts"] = n_posts
+    return results
 
 
 def bench_eval(n_posts: int = 4096, iters: int = 8) -> dict:
@@ -489,6 +585,96 @@ def bench_eval(n_posts: int = 4096, iters: int = 8) -> dict:
             "n_posts": n_posts}
 
 
+def bench_preprocess(n_videos: int = 8, frames_per_video: int = 450,
+                     size=(640, 360), fps: int = 30, batch_size: int = 64,
+                     workers: int = 2, extract_fn=None) -> dict:
+    """End-to-end offline preprocess stage: mp4 decode -> sampled frames ->
+    jitted ResNet-152 -> BigFile, with the decode thread(s) overlapping the
+    TPU forward (the reference's heaviest offline stage,
+    preprocess/preprocess_videos.py:36-62 + extract_frame_feature.py, which
+    round-trips every frame through cv2.imwrite/jpg re-read; here the
+    fused path feeds the extractor directly).
+
+    Synthesizes n_videos mp4s (moving-gradient frames: realistic decode
+    cost, fast to encode), then measures
+      * decode_only_fps      -- serial decode floor on this host (no TPU)
+      * e2e_decoded_fps      -- full fused pipeline, in decoded frames/s
+      * e2e_sampled_fps      -- same, in sampled (=extracted) frames/s
+      * tpu_starved_frac     -- fraction of wall the consumer sat waiting
+                                on decode (1.0 == fully decode-bound)
+      * overlap_speedup      -- (serial decode + extract + write) / wall
+      * extractor_ceiling_fps-- what the TPU side alone sustains
+    """
+    import shutil
+    import tempfile
+
+    import cv2
+
+    from fancyrec_tpu.preprocess import videos as V
+    from fancyrec_tpu.preprocess.features import extract_features
+
+    root = tempfile.mkdtemp(prefix="fancyrec_bench_pre_")
+    try:
+        yy, xx = np.mgrid[0:size[1], 0:size[0]]
+        base = np.zeros((size[1], size[0], 3), np.uint8)
+        base[..., 0] = (xx * 255 // size[0]).astype(np.uint8)
+        base[..., 1] = (yy * 255 // size[1]).astype(np.uint8)
+        for v in range(n_videos):
+            d = os.path.join(root, "brand%02d" % (v % 4))
+            os.makedirs(d, exist_ok=True)
+            vw = cv2.VideoWriter(os.path.join(d, "vid%03d.mp4" % v),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+            if not vw.isOpened():
+                raise RuntimeError("mp4v codec unavailable")
+            frame = base.copy()
+            frame[..., 2] = (v * 37) % 255
+            for i in range(frames_per_video):
+                vw.write(np.roll(frame, i * 3, axis=1))
+            vw.release()
+        brands = sorted(d for d in os.listdir(root)
+                        if os.path.isdir(os.path.join(root, d)))
+        decoded = n_videos * frames_per_video
+
+        # serial decode floor (no extraction)
+        t0 = time.perf_counter()
+        sampled = sum(1 for _ in V.iter_sampled_frames(root, brands))
+        decode_s = time.perf_counter() - t0
+
+        if extract_fn is None:
+            params = init_random_params()
+            extract_fn = make_extractor(params, batch_size)
+        _ = np.asarray(extract_fn(
+            np.zeros((batch_size, 224, 224, 3), np.uint8))[0])  # compile
+
+        out_dir = os.path.join(root, "out")
+        stats = {}
+        t0 = time.perf_counter()
+        n = extract_features(
+            V.iter_sampled_frames_parallel(root, brands, workers=workers),
+            out_dir, batch_size=batch_size, extract_fn=extract_fn,
+            stats=stats)
+        wall = time.perf_counter() - t0
+        assert n == sampled, (n, sampled)
+
+        serial_estimate = decode_s + stats["compute_s"] + stats["write_s"]
+        return {
+            "n_videos": n_videos,
+            "decoded_frames": decoded,
+            "sampled_frames": sampled,
+            "decode_only_fps": decoded / decode_s,
+            "e2e_wall_s": wall,
+            "e2e_decoded_fps": decoded / wall,
+            "e2e_sampled_fps": sampled / wall,
+            "tpu_starved_frac": stats["wait_s"] / wall,
+            "overlap_speedup": serial_estimate / wall,
+            "extractor_ceiling_fps": (
+                stats["batches"] * batch_size / stats["compute_s"]),
+            "decode_workers": workers,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_all(out_path: str = "bench_full.json") -> dict:
     """Run every sub-benchmark and write ONE machine-readable artifact so
     per-round perf claims are auditable (committed per round next to
@@ -527,6 +713,9 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
     run("retrieval_1m_int8_mposts_per_sec",
         lambda: round(bench_retrieval(quantize="int8") / 1e6, 2))
     run("eval", lambda: {k: round(v, 2) for k, v in bench_eval().items()})
+    run("preprocess_e2e", lambda: {
+        k: round(v, 4) if isinstance(v, float) else v
+        for k, v in bench_preprocess(n_videos=6, frames_per_video=300).items()})
     run("ivf_single_query", lambda: {
         k: round(v, 4) if isinstance(v, float) else v
         for k, v in bench_ivf().items()})
@@ -534,6 +723,11 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
         bench_serving()["query_latency_ms"], 1))
     run("serving_query_int8_ms", lambda: round(
         bench_serving(quantize="int8")["query_latency_ms"], 1))
+    run("serving_concurrent", lambda: {
+        k: ({kk: round(vv, 2) for kk, vv in v.items()}
+            if isinstance(v, dict) else round(v, 3) if isinstance(v, float)
+            else v)
+        for k, v in bench_serving_concurrent().items()})
 
     artifact = {
         "platform": jax.default_backend(),
@@ -603,6 +797,12 @@ def _emit_round_lines(results: dict, artifact_path: str) -> None:
     line("eval_encode_throughput_recipe_config",
          get("eval", "encode_posts_per_sec"), "posts/sec/chip",
          metric_kernel_ms=get("eval", "metric_kernel_ms"))
+    line("preprocess_e2e_decoded_fps",
+         get("preprocess_e2e", "e2e_decoded_fps"), "frames/sec",
+         sampled_fps=get("preprocess_e2e", "e2e_sampled_fps"),
+         decode_only_fps=get("preprocess_e2e", "decode_only_fps"),
+         tpu_starved_frac=get("preprocess_e2e", "tpu_starved_frac"),
+         overlap_speedup=get("preprocess_e2e", "overlap_speedup"))
     line("ivf_single_query_latency_1m_posts",
          get("ivf_single_query", "ivf_single_query_ms"), "ms",
          exact_single_query_ms=get("ivf_single_query",
@@ -612,6 +812,11 @@ def _emit_round_lines(results: dict, artifact_path: str) -> None:
          get("serving_query_ms"), "ms")
     line("serving_query_latency_1m_posts_int8",
          get("serving_query_int8_ms"), "ms")
+    line("serving_concurrent_p99_8_clients",
+         get("serving_concurrent", "coalesced", "p99_ms"), "ms",
+         serial_lock_p99_ms=get("serving_concurrent", "serial_lock",
+                                "p99_ms"),
+         p99_speedup=get("serving_concurrent", "p99_speedup"))
 
 
 def main():
@@ -714,6 +919,21 @@ def main():
             **({"nprobe_curve": r["nprobe_curve"]}
                if "nprobe_curve" in r else {}),
         }))
+    elif mode == "serving_concurrent":
+        clients = int(args[0]) if args else 8
+        r = bench_serving_concurrent(clients=clients)
+        print(json.dumps({
+            "metric": "serving_concurrent_p99_%d_clients" % clients,
+            "value": round(r["coalesced"]["p99_ms"], 1), "unit": "ms",
+            "vs_baseline": None,
+            "coalesced_p50_ms": round(r["coalesced"]["p50_ms"], 1),
+            "serial_lock_p50_ms": round(r["serial_lock"]["p50_ms"], 1),
+            "serial_lock_p99_ms": round(r["serial_lock"]["p99_ms"], 1),
+            "p99_speedup": round(r["p99_speedup"], 2),
+            "req_per_sec": round(r["coalesced"]["req_per_sec"], 1),
+            "device_calls": r["coalesced"].get("device_calls"),
+            "requests": r["coalesced"].get("requests"),
+        }))
     elif mode == "serving":
         quant = args[0] if args else ""
         r = bench_serving(quantize=quant)
@@ -722,6 +942,17 @@ def main():
                 "_int8" if quant else ""),
             "value": round(r["query_latency_ms"], 1), "unit": "ms",
             "vs_baseline": None, "k": r["k"],
+        }))
+    elif mode == "preprocess":
+        n_videos = int(args[0]) if args else 8
+        workers = int(args[1]) if len(args) > 1 else 2
+        r = bench_preprocess(n_videos=n_videos, workers=workers)
+        print(json.dumps({
+            "metric": "preprocess_e2e_decoded_fps",
+            "value": round(r["e2e_decoded_fps"], 1), "unit": "frames/sec",
+            "vs_baseline": None,
+            **{k: round(v, 4) if isinstance(v, float) else v
+               for k, v in r.items() if k != "e2e_decoded_fps"},
         }))
     elif mode == "eval":
         r = bench_eval()
@@ -746,8 +977,9 @@ def main():
     else:
         raise SystemExit("usage: bench.py [resnet [batch]|train [batch]"
                          "|train_resident|train_bucketed [bf16]"
-                         "|retrieval [int8]|eval|ivf"
-                         "|serving [int8]|all [out.json]]; no args = full "
+                         "|retrieval [int8]|eval|preprocess [n_videos [workers]]|ivf"
+                         "|serving [int8]|serving_concurrent [clients]"
+                         "|all [out.json]]; no args = full "
                          "suite, one JSON line per metric (resnet first)")
 
 

@@ -12,6 +12,7 @@ emits the txt lines for byte-level pipeline parity checks).
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, Iterable, Iterator, Optional, Tuple
 
 import numpy as np
@@ -54,13 +55,21 @@ def extract_features(stream: Iterable[Tuple[str, np.ndarray]],
                      out_dir: str, batch_size: int = 128,
                      params=None, extract_fn: Optional[Callable] = None,
                      txt_path: Optional[str] = None,
-                     prefetch: int = 2) -> int:
+                     prefetch: int = 2,
+                     stats: Optional[dict] = None) -> int:
     """Stream (name, image) pairs through the extractor into a BigFile.
 
     Returns the number of feature rows written. Decode (producer thread)
     overlaps with TPU compute (consumer); batches are fixed-size (the tail
     is zero-padded and trimmed after the forward pass) so the extractor
     compiles once.
+
+    If `stats` is a dict, it is filled with wall-clock attribution for the
+    consumer side: `wait_s` (blocked on the decode/prefetch queue — producer
+    starvation), `compute_s` (extractor forward + device fetch), `write_s`
+    (BigFile append), and `batches`. wait_s / sum is the fraction of the
+    pipeline NOT hidden behind decode — the decode/extract overlap signal
+    bench.py's preprocess mode reports.
     """
     if extract_fn is None:
         from fancyrec_tpu.models.resnet import init_random_params, make_extractor
@@ -76,13 +85,31 @@ def extract_features(stream: Iterable[Tuple[str, np.ndarray]],
 
     txt = open(txt_path, "w") if txt_path else None
     written = 0
+    wait_s = compute_s = write_s = 0.0
+    n_batches = 0
+    it = iter(batches)
     with BigFileWriter(out_dir) as w:
-        for names, images in batches:
+        while True:
+            t0 = time.perf_counter()
+            try:
+                names, images = next(it)
+            except StopIteration:
+                break
+            t1 = time.perf_counter()
             feats = np.asarray(extract_fn(images))[: len(names)]
+            t2 = time.perf_counter()
             written += w.write_batch(names, feats)
             if txt is not None:
                 for n, row in zip(names, feats):
                     txt.write(n + " " + " ".join("%g" % v for v in row) + "\n")
+            t3 = time.perf_counter()
+            wait_s += t1 - t0
+            compute_s += t2 - t1
+            write_s += t3 - t2
+            n_batches += 1
     if txt is not None:
         txt.close()
+    if stats is not None:
+        stats.update(wait_s=wait_s, compute_s=compute_s, write_s=write_s,
+                     batches=n_batches)
     return written

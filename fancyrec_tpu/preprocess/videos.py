@@ -46,12 +46,20 @@ def iter_video_frames(path: str, resize: Optional[Tuple[int, int]] = None
     count = 0
     ok = cap.isOpened()
     if ok:
-        ok, frame = cap.read()
+        ok = cap.grab()
     while ok:
-        ok, frame = cap.read()
+        # grab() decodes without the BGR conversion + frame copy;
+        # retrieve() materializes only the ~1-in-(fps//2) sampled frames.
+        # Same frames as read() everywhere (pinned byte-identical vs the
+        # reference artifacts in test_reference_preprocess_oracle); speeds
+        # single-core decode (measured in bench.py preprocess).
+        ok = cap.grab()
         if not ok:
             break
         if count % interval == 0:
+            ok, frame = cap.retrieve()
+            if not ok:
+                break
             if resize is not None:
                 frame = cv2.resize(frame, resize)
             yield count, frame[:, :, ::-1]  # BGR -> RGB

@@ -33,7 +33,14 @@ Artifacts are SINGLE-DEVICE programs by design: serving scales by
 replication (one artifact per chip behind a balancer -- encode is
 embarrassingly batch-parallel), while the sharded-index path
 (serving/index.py with a mesh) covers the one serving stage that needs
-multi-chip memory, the 1M+ post top-k.
+multi-chip memory, the 1M+ post top-k. For deployments that DO want one
+encode program spanning chips, the supported path is live jit over a
+mesh (eval/evaluator.encode_data(mesh=...) / fancyrec-serve
+--mesh_shape); the two paths are pinned numerically equal in
+tests/test_export.py::test_export_artifact_matches_multichip_live_jit,
+so mixing them introduces no numeric seam. Lowering the artifacts
+themselves with shardings would bake one topology into the bytes --
+exactly the portability the export path exists to avoid.
 
 CLI:
   fancyrec-export out/ --checkpoint model_best.pth.tar [--batch 0]

@@ -188,6 +188,17 @@ class _TopkCoalescer:
             self.device_calls += 1
         try:
             all_ids = [b for r in batch for b in r.brand_ids]
+            n_real = len(all_ids)
+            if len(batch) > 1:
+                # pad multi-request batches to the next power of two:
+                # PostIndex.query jit-compiles one program per query-row
+                # count, so unpadded coalescing would compile a fresh
+                # program for every distinct concatenation (20-40 s each
+                # over the TPU tunnel). Padding bounds the program
+                # universe to ~log2(max_batch) sizes; single requests
+                # keep their exact (already-cached) shape.
+                padded = 1 << (n_real - 1).bit_length()
+                all_ids = all_ids + [all_ids[0]] * (padded - n_real)
             with self._dlock:
                 vals, names = self._run(all_ids, k, nprobe)
             off = 0

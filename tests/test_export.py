@@ -83,6 +83,7 @@ def _direct(model, state, cfg, batch, method):
     raise KeyError(method)
 
 
+@pytest.mark.slow
 def test_export_roundtrip_polymorphic_batch(tmp_path):
     cfg = _tiny_cfg()
     model, state, ckpt = _make_ckpt(tmp_path, cfg)
@@ -111,6 +112,7 @@ def test_export_roundtrip_polymorphic_batch(tmp_path):
     np.testing.assert_allclose(brands, want, rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_fixed_batch_and_bigru(tmp_path):
     cfg = _tiny_cfg(text_net="bi-gru")
     model, state, ckpt = _make_ckpt(tmp_path, cfg)
@@ -178,6 +180,51 @@ def test_export_artifact_runs_on_tpu(tmp_path):
     brands = np.asarray(loaded.embed_brand())
     assert brands.shape == (cfg.brand_num, cfg.common_embedding_size)
     assert np.isfinite(brands).all()
+
+
+@pytest.mark.slow
+def test_export_artifact_matches_multichip_live_jit(tmp_path):
+    """Pins the multi-chip serving scope decision (serving/export.py
+    docstring): artifacts are single-device by design, and the SUPPORTED
+    multi-chip serving path is live jit over a mesh. This test is the
+    evidence that the two paths agree -- the single-device artifact and
+    the live encode forward data-sharded over the full 8-device mesh
+    produce the same embeddings (f32 reassociation tolerance), so an
+    operator can mix replicated-artifact serving with mesh live-jit
+    serving without a numeric seam."""
+    from fancyrec_tpu.parallel.mesh import build_mesh, shard_batch
+
+    cfg = _tiny_cfg()
+    model, state, ckpt = _make_ckpt(tmp_path, cfg)
+    out = str(tmp_path / "artifacts")
+    export_model(ckpt, out, platforms=("cpu",), batch=0,
+                 entries=["encode_post"])
+    loaded = ExportedModel(out)
+
+    mesh = build_mesh()           # all 8 virtual devices on the data axis
+    assert mesh.devices.size == len(jax.devices())
+    b = 2 * mesh.devices.size     # divisible batch, 2 rows per device
+    batch = _batch(cfg, b, seed=3)
+
+    got_artifact = np.asarray(loaded.encode_post(batch))
+
+    dev_batch = shard_batch(mesh, {k: jnp.asarray(v)
+                                   for k, v in batch.items()})
+    v = VisualBatch(frames=dev_batch["frames"],
+                    mean_origin=dev_batch["origin"],
+                    mask=dev_batch["vmask"])
+    t = TextBatch(bows=dev_batch["bows"], tokens=dev_batch["tokens"],
+                  type_ids=dev_batch["type_ids"], mask=dev_batch["tmask"])
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    live = jax.jit(lambda vars_, vb, tb: model.apply(
+        vars_, vb, tb, deterministic=True, method=model.embed_post))
+    got_live = np.asarray(live(variables, v, t))
+
+    assert got_live.shape == got_artifact.shape == (
+        b, cfg.common_embedding_size)
+    np.testing.assert_allclose(got_live, got_artifact, rtol=0, atol=1e-5)
 
 
 def test_export_rejects_unknown_entry(tmp_path):

@@ -77,6 +77,7 @@ def test_frame_sampling_rate(scrape_tree):
     assert len(counts) >= 3
 
 
+@pytest.mark.slow
 def test_full_pipeline_to_training(scrape_tree, tmp_path):
     target = str(tmp_path / "out")
     out = pipeline.run(scrape_tree, target, dataset_name="mini",
@@ -171,3 +172,24 @@ def test_parallel_decode_matches_serial(scrape_tree):
     assert [n for n, _ in serial] == [n for n, _ in par]
     for (_, a), (_, b) in zip(serial, par):
         np.testing.assert_array_equal(a, b)
+
+
+def test_bench_preprocess_smoke(monkeypatch):
+    """bench.py preprocess end-to-end with a stub extractor: synthesizes
+    mp4s, runs the fused decode->extract->BigFile pipeline, and reports a
+    consistent frame accounting + overlap attribution."""
+    import bench
+
+    def fake_extract(images):
+        return np.asarray(images, np.float32).reshape(len(images), -1)[:, :4]
+
+    r = bench.bench_preprocess(n_videos=2, frames_per_video=40,
+                               size=(64, 48), fps=10, batch_size=4,
+                               workers=2, extract_fn=fake_extract)
+    assert r["decoded_frames"] == 80
+    # 10 fps -> interval 5; reference sampling skips the first frame, so
+    # 40 frames yield ceil(39/5) = 8 samples per video
+    assert r["sampled_frames"] == 16
+    assert r["e2e_decoded_fps"] > 0 and r["decode_only_fps"] > 0
+    assert 0.0 <= r["tpu_starved_frac"] <= 1.0
+    assert r["overlap_speedup"] > 0

@@ -238,6 +238,50 @@ def test_topk_coalescing_under_concurrency(tmp_path):
         thread.join(timeout=10)
 
 
+def test_coalesced_batches_pad_to_power_of_two():
+    """Multi-request coalesced batches must pad the concatenated query
+    rows to a power of two (PostIndex.query compiles one program per row
+    count; unpadded coalescing would compile a fresh TPU program for
+    every distinct concatenation), while single-request batches keep
+    their exact shape. Pad rows repeat a real brand id and are sliced
+    off before results return."""
+    import time
+
+    from fancyrec_tpu.serving.server import _TopkCoalescer
+
+    sizes = []
+    lock = threading.Lock()
+
+    def run(ids, k, nprobe):
+        sizes.append(len(ids))
+        time.sleep(0.05)          # hold the device so followers pend
+        return ([[float(i)] * k for i in ids],
+                [["p%d" % i] * k for i in ids])
+
+    co = _TopkCoalescer(run, lock)
+    results = [None] * 6
+    def call(i):
+        # 3 brand ids per request; coalesced totals are not powers of two
+        results[i] = co.query([i % 4, (i + 1) % 4, (i + 2) % 4], 2, 0)
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    snap = co.snapshot()
+    assert snap["requests"] == 6
+    assert snap["device_calls"] == len(sizes) < 6    # coalescing fired
+    for n, r in zip(range(6), results):              # sliced per request
+        assert len(r[0]) == 3 and len(r[1]) == 3
+        assert r[0][0] == [float(n % 4)] * 2
+    # first call is a lone leader (exact size 3); every multi-request
+    # batch after it is a power of two
+    multi = [s for s in sizes if s > 3]
+    assert multi, sizes
+    assert all(s & (s - 1) == 0 for s in multi), sizes
+
+
 def test_coalesced_error_propagates_to_every_waiter(tmp_path):
     """A failing batched device call must 500 every member of the batch,
     not hang followers."""
