@@ -56,7 +56,7 @@ def _l2norm(x, axis=-1, eps=1e-12):
 def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
                      seed: int = 0, block: int = 65536,
                      cap_target: Optional[float] = None,
-                     balance_rounds: int = 6) -> jnp.ndarray:
+                     balance_rounds: int = 12) -> jnp.ndarray:
     """K-means on the unit sphere (cosine assignment) -> (nlist, D) f32.
 
     Jitted Lloyd iterations; assignment never materializes the full
@@ -74,9 +74,20 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
     Lloyd step to settle -- the settle step Voronoi-partitions the hot
     cluster's members among the copies), donating the emptiest
     centroids. Centroid density then tracks data density, so posts land
-    in their top choices and probes find them. Donors are only taken
-    while light (count < cap_target / 2): donating displaces a donor's
-    members into its neighbors, which must be able to absorb them.
+    in their top choices and probes find them.
+
+    Donors are the lightest clusters below 0.9 * cap_target, taken
+    lightest-first: a donated cluster's members get displaced into its
+    neighbors, so the lightest (cheapest to absorb) go first. An earlier
+    `< cap_target / 2` donor rule starved on UNIFORM-topic corpora --
+    counts bunch around the mean (= cap_target / overprovision factor,
+    i.e. ~77% of target at the 1.3x default), so clusters under half
+    target barely exist and the refinement silently stalled with heavy
+    clusters left over (4M probe: recall@10 stuck at 0.775 @ nprobe
+    128). Because late donation rounds can transiently regress (a
+    donor's displaced members can push a neighbor over target), the
+    refinement tracks displaced mass per round and returns the best
+    centroid set seen, not the last.
     """
     n, d = embs.shape
     x = _l2norm(jnp.asarray(embs, jnp.float32))
@@ -107,6 +118,11 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
 
     if cap_target is not None and nlist > 1:
         rng = np.random.RandomState(seed + 1)
+
+        def displaced(counts):
+            return int(np.maximum(counts - cap_target, 0).sum())
+
+        best = (displaced(np.array(cnt)), np.array(cents))
         for _ in range(balance_rounds):
             counts = np.array(cnt)      # writable host copy
             order = np.argsort(counts, kind="stable")     # light -> heavy
@@ -115,7 +131,7 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
             if not heavy:
                 break
             donors = [int(c) for c in order
-                      if counts[c] < cap_target / 2]
+                      if counts[c] < 0.9 * cap_target]
             ch = np.array(cents)        # writable host copy
             moved, di = False, 0
             for over in heavy:
@@ -133,6 +149,13 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
                 break
             cents, cnt = lloyd(
                 _l2norm(jnp.asarray(ch)), x, xp)   # settle the split
+            cur = displaced(np.array(cnt))
+            if cur < best[0]:
+                best = (cur, np.array(cents))
+            if cur == 0:
+                break
+        if best[0] < displaced(np.array(cnt)):
+            cents = jnp.asarray(best[1])
     return cents
 
 
