@@ -715,7 +715,9 @@ def bench_all(out_path: str = "bench_full.json") -> dict:
     run("eval", lambda: {k: round(v, 2) for k, v in bench_eval().items()})
     run("preprocess_e2e", lambda: {
         k: round(v, 4) if isinstance(v, float) else v
-        for k, v in bench_preprocess(n_videos=6, frames_per_video=300).items()})
+        # workers=1: decode threads lose on this 1-core host (README)
+        for k, v in bench_preprocess(n_videos=6, frames_per_video=300,
+                                     workers=1).items()})
     run("ivf_single_query", lambda: {
         k: round(v, 4) if isinstance(v, float) else v
         for k, v in bench_ivf().items()})
@@ -862,11 +864,20 @@ def main():
             "vs_baseline": None,
         }))
     elif mode == "train_bucketed":
-        dtype = "bfloat16" if args and args[0] in ("bf16", "bfloat16") else ""
-        r = bench_train_bucketed(dtype=dtype)
+        batch, dtype, rng_impl = 0, "", ""
+        for tok in args:
+            if tok in ("bf16", "bfloat16"):
+                dtype = "bfloat16"
+            elif tok == "rbg":
+                rng_impl = "rbg"
+            else:
+                batch = int(tok)
+        r = bench_train_bucketed(dtype=dtype, batch_size=batch,
+                                 rng_impl=rng_impl)
         print(json.dumps({
             "metric": "train_step_throughput_bucketed_inscar_mix" + (
-                "_bf16" if dtype else ""),
+                "_b%d" % batch if batch else "") + (
+                "_bf16" if dtype else "") + ("_rbg" if rng_impl else ""),
             "value": round(r["bucketed_posts_per_sec"], 1),
             "unit": "posts/sec/chip", "vs_baseline": None,
             "static_pad_posts_per_sec": round(
