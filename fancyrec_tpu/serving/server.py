@@ -175,11 +175,16 @@ class _TopkCoalescer:
                     raise req.error
                 return req.result
             self._busy = True
-            batch, total = [], 0
+            # the leader's own request is ALWAYS in the batch it runs --
+            # seeding it first means the max_batch cap can never exclude
+            # it (collecting in plain arrival order could fill the cap
+            # with earlier arrivals and leave the leader returning its
+            # own unserved None result)
+            batch, total = [req], len(req.brand_ids)
             for r in self._pending:
-                if r.k != k or r.nprobe != nprobe:
+                if r is req or r.k != k or r.nprobe != nprobe:
                     continue
-                if batch and total + len(r.brand_ids) > self.max_batch:
+                if total + len(r.brand_ids) > self.max_batch:
                     break
                 batch.append(r)
                 total += len(r.brand_ids)

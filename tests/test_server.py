@@ -282,6 +282,30 @@ def test_coalesced_batches_pad_to_power_of_two():
     assert all(s & (s - 1) == 0 for s in multi), sizes
 
 
+def test_leader_request_survives_full_batch():
+    """The max_batch cap must never exclude the leader's OWN request:
+    collecting in plain arrival order could fill the cap with earlier
+    pending arrivals and leave the leader returning its own unserved
+    None result. The batch is seeded with the leader, so the leader is
+    served and the overflow requests stay pending for the next leader."""
+    from fancyrec_tpu.serving.server import _Request, _TopkCoalescer
+
+    def run(ids, k, nprobe):
+        return ([[float(i)] * k for i in ids],
+                [["p%d" % i] * k for i in ids])
+
+    co = _TopkCoalescer(run, threading.Lock(), max_batch=2)
+    # two single-brand requests already pending when the leader arrives
+    stale = [_Request([9], 2, 0), _Request([8], 2, 0)]
+    co._pending.extend(stale)
+    vals, names = co.query([5, 6], 2, 0)   # leader alone fills max_batch
+    assert [v[0] for v in vals] == [5.0, 6.0]
+    assert [n[0] for n in names] == ["p5", "p6"]
+    # the overflow requests were not silently dropped or falsely served
+    assert co._pending == stale
+    assert not stale[0].done and not stale[1].done
+
+
 def test_coalesced_error_propagates_to_every_waiter(tmp_path):
     """A failing batched device call must 500 every member of the batch,
     not hang followers."""
