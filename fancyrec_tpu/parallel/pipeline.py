@@ -67,8 +67,10 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
     shard_map resolves the abstract form at trace time).
 
     Stochastic layers: pass `rng` (a PRNG key) and layer_fn is called as
-    layer_fn(params, h, aux_mb, key) with a key unique per (layer,
-    microbatch) -- fold_in(fold_in(rng, global_layer_index), microbatch).
+    layer_fn(params, h, aux_mb, key) with a key unique per (data shard,
+    layer, microbatch) -- fold_in(fold_in(fold_in(rng, data_index),
+    global_layer_index), microbatch); the data-shard fold is what keeps
+    dp rows independently masked (the key enters replicated over dp).
     The draw structure differs from running the layers sequentially under
     flax's path-folded rngs, so stochastic outputs are equally
     distributed but NOT bit-equal to the unpipelined module; exact
@@ -109,6 +111,15 @@ def pipeline_apply(layer_fn: Callable, stacked_params: Any, x: jnp.ndarray,
             lambda a: lax.pcast(a, axis, to="varying"), aux_l)
         if rng_l is not None:
             rng_l = lax.pcast(rng_l, axis, to="varying")
+            if dspec:
+                # distinct draws per data shard: the key enters shard_map
+                # replicated over the data axis, so without this fold
+                # every dp shard would draw bit-identical (layer,
+                # microbatch) masks for its local rows -- silently
+                # correlated regularization vs the non-pp trainer
+                rng_l = jax.random.fold_in(
+                    lax.pcast(rng_l, dspec, to="varying"),
+                    lax.axis_index(dspec))
 
         def stage(h, aux_mb, m):
             if rng_l is None:

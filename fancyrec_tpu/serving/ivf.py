@@ -116,7 +116,9 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
     for _ in range(iters):
         cents, cnt = lloyd(cents, x, xp)
 
-    if cap_target is not None and nlist > 1:
+    # iters=0 means "init centroids, unrefined" -- there is no count to
+    # balance against (cnt is None), so capacity refinement must not run
+    if cap_target is not None and nlist > 1 and cnt is not None:
         rng = np.random.RandomState(seed + 1)
 
         def displaced(counts):

@@ -185,7 +185,9 @@ class _TopkCoalescer:
                 if r is req or r.k != k or r.nprobe != nprobe:
                     continue
                 if total + len(r.brand_ids) > self.max_batch:
-                    break
+                    # skip just this one: an oversized request must not
+                    # stop smaller later arrivals from riding the batch
+                    continue
                 batch.append(r)
                 total += len(r.brand_ids)
             for r in batch:
@@ -211,9 +213,14 @@ class _TopkCoalescer:
                 n = len(r.brand_ids)
                 r.result = (vals[off:off + n], names[off:off + n])
                 off += n
-        except Exception as e:  # noqa: BLE001 -- deliver to every waiter
+        except BaseException as e:  # noqa: BLE001 -- deliver to every waiter
             for r in batch:
                 r.error = e
+            if not isinstance(e, Exception):
+                # KeyboardInterrupt/SystemExit: followers were handed the
+                # real failure above (not a bare None result); the leader
+                # itself must still be interrupted, not swallow it
+                raise
         finally:
             with self._cv:
                 for r in batch:

@@ -40,6 +40,21 @@ def test_kmeans_clusters_separate_data():
     assert np.bincount(a, minlength=16).max() < len(x) * 0.5
 
 
+def test_kmeans_iters_zero_returns_init_centroids():
+    """iters=0 means 'init centroids, unrefined'. Regression: capacity
+    refinement used to dereference the (None) Lloyd counts and crash with
+    a TypeError -- and IVFIndex.build always passes cap_target, so every
+    iters=0 build hit it."""
+    x = _clustered(n=300, d=16, n_clusters=4)
+    cents = np.asarray(spherical_kmeans(x, nlist=8, iters=0, seed=1,
+                                        cap_target=50))
+    assert cents.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0,
+                               atol=1e-5)
+    ivf = IVFIndex.build(x, nlist=8, iters=0, seed=1)   # end-to-end path
+    assert ivf.packed_idx.shape[0] == 8
+
+
 def test_balanced_assign_respects_capacity():
     rng = np.random.RandomState(0)
     choices = rng.randint(0, 8, (100, 3))

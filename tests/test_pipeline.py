@@ -185,6 +185,42 @@ def test_bert_pipeline_stochastic_dropout():
 
 
 @pytest.mark.slow
+def test_bert_pipeline_dropout_independent_across_data_shards():
+    """Regression: the PRNG key enters shard_map replicated over the data
+    axis, so without an axis_index fold every dp shard drew bit-identical
+    (layer, microbatch) masks for its local rows. Pin the fix: identical
+    rows that land on DIFFERENT data shards must get different in-pipe
+    dropout draws (attention dropout only -- embedding dropout happens in
+    the replicated region and is per-row unique either way, which would
+    hide the bug)."""
+    from fancyrec_tpu.models.bert import BertConfig, BertEncoder
+
+    mesh = build_mesh("2,4")                      # data=2, model=4
+    b, t = 8, 12
+    ids = jnp.tile(jnp.asarray([[7, 3, 9, 1, 4, 2, 8, 5, 6, 2, 3, 1]],
+                               jnp.int32), (b, 1))   # every row identical
+    types = jnp.zeros((b, t), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=4,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.5)
+    enc = BertEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), ids, types, mask)["params"]
+
+    out = np.asarray(jax.jit(lambda p, k: bert_pipeline_forward(
+        p, cfg, ids, types, mask, mesh=mesh, axis="model",
+        deterministic=False, rng=k))(params, jax.random.PRNGKey(1)))
+    # with n_micro=4, mb=2, data=2: rows 2m and 2m+1 share a microbatch
+    # slot on different data shards -- they must NOT share masks
+    for m in range(4):
+        assert np.abs(out[2 * m] - out[2 * m + 1]).max() > 1e-4, \
+            "data shards drew identical dropout masks (microbatch %d)" % m
+
+
+@pytest.mark.slow
 def test_bert_pipeline_bf16_bounded_divergence():
     """bf16 compute: the pipelined residual stream is uniformly bf16
     between layers while the sequential encoder carries f32 LayerNorm

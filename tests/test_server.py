@@ -306,6 +306,34 @@ def test_leader_request_survives_full_batch():
     assert not stale[0].done and not stale[1].done
 
 
+def test_oversized_pending_request_skipped_not_blocking():
+    """One pending request too big for the remaining max_batch budget must
+    be skipped (left for the next leader), NOT stop collection: smaller
+    later arrivals that fit still ride the current batch."""
+    from fancyrec_tpu.serving.server import _Request, _TopkCoalescer
+
+    calls = []
+
+    def run(ids, k, nprobe):
+        calls.append(list(ids))
+        return ([[float(i)] * k for i in ids],
+                [["p%d" % i] * k for i in ids])
+
+    co = _TopkCoalescer(run, threading.Lock(), max_batch=8)
+    big = _Request(list(range(10, 17)), 2, 0)      # 7 ids: 2+7 > 8
+    small = [_Request([7], 2, 0), _Request([8], 2, 0)]
+    co._pending.extend([big] + small)
+    vals, names = co.query([5, 6], 2, 0)           # leader: 2 ids
+    assert [v[0] for v in vals] == [5.0, 6.0]
+    # the small requests rode the leader's batch despite the big one
+    assert small[0].done and small[1].done
+    assert small[0].result[1][0][0] == "p7"
+    assert small[1].result[1][0][0] == "p8"
+    # the big request is untouched, pending for the next leader
+    assert not big.done and co._pending == [big]
+    assert len(calls) == 1 and len(calls[0]) == 4  # 2+1+1 padded to 4
+
+
 def test_coalesced_error_propagates_to_every_waiter(tmp_path):
     """A failing batched device call must 500 every member of the batch,
     not hang followers."""
