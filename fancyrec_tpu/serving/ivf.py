@@ -53,15 +53,120 @@ def _l2norm(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
+def _kcenter_init(xp: jnp.ndarray, n: int, nlist: int, key) -> jnp.ndarray:
+    """Gonzalez farthest-point (k-center) seeding -> (nlist,) row indices.
+
+    Uniform-random row init allocates centroids proportional to data
+    MASS, never to data SPREAD: on corpora made of many tight,
+    near-orthogonal topic blobs a topic can start with zero centroids
+    (Poisson tail), and Lloyd cannot fix it -- a centroid has no
+    gradient across an orthogonal gap, so init coverage is frozen.
+    Uncovered topics' posts then scatter at noise-level dots into other
+    lists, polluting their means, and the 4M probe measured the end
+    state: most query topics had NO aligned list at all while a few
+    hoarded ~30 each (tools/ivf_probe_rank.py), recall@10 0.81 at
+    nprobe 128.
+
+    Farthest-point traversal is the coverage-maximal seeding (Gonzalez's
+    2-approximation for k-center): each step takes the row with maximal
+    cosine distance to its nearest chosen seed, so no region is left
+    unseeded while another holds two (measured on the orthogonal-topic
+    fixture: 64/64 topics vs ~50/64 for D^2 sampling -- on tight blobs
+    the covered residual mass out-competes the uncovered tail under any
+    sampled rule). The classic caveat -- isolated outlier rows attract
+    seeds -- costs at most one near-empty list per outlier, healed by
+    the Lloyd iterations that follow; mis-seeding a whole region costs
+    its recall. Deterministic given the key (only the first seed is
+    random). One jitted fori_loop, nlist matvec passes over the rows:
+    ~10 s at the 4M build's 524k x 1024 sample.
+    """
+    nfull = xp.shape[0]
+    first = jax.random.randint(key, (), 0, n)
+
+    @jax.jit
+    def run(xp, first):
+        mind = 1.0 - xp @ xp[first]
+        if nfull > n:
+            # zero pad rows score 1 - 0: mask them out of every argmax
+            mind = mind.at[n:].set(-jnp.inf)
+        idx0 = jnp.zeros((nlist,), jnp.int32).at[0].set(
+            first.astype(jnp.int32))
+
+        def step(i, carry):
+            idx, mind = carry
+            p = jnp.argmax(mind).astype(jnp.int32)
+            # a chosen row's own distance becomes 0: never re-chosen
+            # while any unseeded spread remains
+            return (idx.at[i].set(p),
+                    jnp.minimum(mind, 1.0 - xp @ xp[p]))
+
+        idx, _ = jax.lax.fori_loop(1, nlist, step, (idx0, mind))
+        return idx
+
+    return run(xp, first)
+
+
+# A cluster may donate its centroid to a hot region only if its nearest
+# sibling centroid is at least this close (cosine): members of a donated
+# cluster must have somewhere nearby to land. Same-blob sibling
+# centroids measure ~0.8 on the 4M probe's geometry (blob self-cosine
+# at its noise scale) and real embedding manifolds put nearest centroids
+# far above this; a centroid BELOW the floor is the sole coverage of its
+# region and donating it strands every post there.
+_DONOR_REDUNDANCY_FLOOR = 0.4
+
+
+def _select_donors(counts: np.ndarray, cap_target: float,
+                   maxcos: np.ndarray, sib: np.ndarray,
+                   redundancy_floor: float = _DONOR_REDUNDANCY_FLOOR,
+                   light_frac: float = 0.9) -> list:
+    """Donor clusters for one capacity-refinement round, lightest first.
+
+    A donor must be light (count < light_frac * cap_target) AND
+    redundant (nearest sibling cosine >= redundancy_floor). Donating it
+    protects its nearest sibling -- the absorber of its members -- from
+    donating in the same round, and a cluster whose own absorber already
+    donated is skipped. Without these two rules one round could drain
+    EVERY list of a region: at the default 1.3x capacity overprovision
+    the light line (0.9 * target = 1.17x the mean count) sits ABOVE the
+    mean, so in a balanced solution every list is "light" and the old
+    lightest-first rule preferentially emptied the best-covered topics
+    wholesale. The 4M probe measured the resulting death spiral: donated
+    topics' posts scatter at noise dots, pollute other means into junk,
+    recall@10 stuck at 0.81 @ nprobe 128 with most topics holding zero
+    aligned lists (tools/ivf_probe_rank.py).
+    """
+    order = np.argsort(counts, kind="stable")
+    out = []
+    protected, moved = set(), set()
+    for c in order:
+        c = int(c)
+        if counts[c] >= light_frac * cap_target:
+            break                      # ascending order: rest is heavier
+        if maxcos[c] < redundancy_floor or c in protected:
+            continue
+        absorber = int(sib[c])
+        if absorber in moved:
+            continue                   # its absorber left this round
+        protected.add(absorber)
+        moved.add(c)
+        out.append(c)
+    return out
+
+
 def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
                      seed: int = 0, block: int = 65536,
                      cap_target: Optional[float] = None,
                      balance_rounds: int = 12) -> jnp.ndarray:
     """K-means on the unit sphere (cosine assignment) -> (nlist, D) f32.
 
-    Jitted Lloyd iterations; assignment never materializes the full
-    (N, nlist) score matrix (blockwise argmax under lax.map). Empty
-    clusters keep their previous centroid.
+    Seeding is farthest-point k-center (see _kcenter_init): coverage
+    of every data region is decided AT INIT -- Lloyd cannot move a
+    centroid across an orthogonal gap -- so seeds are spread by
+    distance, not drawn by mass. Jitted Lloyd iterations follow;
+    assignment never materializes the full (N, nlist) score matrix
+    (blockwise argmax under lax.map). Empty clusters keep their
+    previous centroid.
 
     cap_target: capacity-aware refinement. Plain Lloyd under-splits hot
     regions in few iterations, leaving clusters whose population exceeds
@@ -72,22 +177,14 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
     cluster with count > cap_target into ceil(count/cap_target) copies
     (tiny deterministic perturbations around the hot centroid, then one
     Lloyd step to settle -- the settle step Voronoi-partitions the hot
-    cluster's members among the copies), donating the emptiest
-    centroids. Centroid density then tracks data density, so posts land
-    in their top choices and probes find them.
-
-    Donors are the lightest clusters below 0.9 * cap_target, taken
-    lightest-first: a donated cluster's members get displaced into its
-    neighbors, so the lightest (cheapest to absorb) go first. An earlier
-    `< cap_target / 2` donor rule starved on UNIFORM-topic corpora --
-    counts bunch around the mean (= cap_target / overprovision factor,
-    i.e. ~77% of target at the 1.3x default), so clusters under half
-    target barely exist and the refinement silently stalled with heavy
-    clusters left over (4M probe: recall@10 stuck at 0.775 @ nprobe
-    128). Because late donation rounds can transiently regress (a
-    donor's displaced members can push a neighbor over target), the
-    refinement tracks displaced mass per round and returns the best
-    centroid set seen, not the last.
+    cluster's members among the copies), donating light clusters whose
+    members have a nearby sibling to absorb them (_select_donors; the
+    redundancy gate and per-round absorber protection are what keep the
+    refinement from draining whole regions -- the 4M-measured failure
+    mode of the earlier lightest-first rule). Because late donation
+    rounds can transiently regress (a donor's displaced members can
+    push a neighbor over target), the refinement tracks displaced mass
+    per round and returns the best centroid set seen, not the last.
     """
     n, d = embs.shape
     x = _l2norm(jnp.asarray(embs, jnp.float32))
@@ -95,7 +192,10 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     nb = xp.shape[0] // block
     key = jax.random.PRNGKey(seed)
-    init = x[jax.random.choice(key, n, (nlist,), replace=n < nlist)]
+    if nlist < n:
+        init = xp[_kcenter_init(xp, n, nlist, key)]
+    else:
+        init = x[jax.random.choice(key, n, (nlist,), replace=True)]
 
     # x/xp ride as ARGUMENTS: a jit closing over them bakes gigabytes of
     # index into the executable as constants (doubling HBM at 1M x 1024)
@@ -121,6 +221,12 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
     if cap_target is not None and nlist > 1 and cnt is not None:
         rng = np.random.RandomState(seed + 1)
 
+        @jax.jit
+        def sibling(cents):
+            # nearest OTHER centroid per centroid: absorber candidates
+            s = cents @ cents.T - 2.0 * jnp.eye(nlist, dtype=cents.dtype)
+            return jnp.max(s, axis=1), jnp.argmax(s, axis=1)
+
         def displaced(counts):
             return int(np.maximum(counts - cap_target, 0).sum())
 
@@ -132,8 +238,8 @@ def spherical_kmeans(embs: jnp.ndarray, nlist: int, iters: int = 10,
                      if counts[c] > cap_target]
             if not heavy:
                 break
-            donors = [int(c) for c in order
-                      if counts[c] < 0.9 * cap_target]
+            maxcos, sib = (np.asarray(a) for a in sibling(cents))
+            donors = _select_donors(counts, cap_target, maxcos, sib)
             ch = np.array(cents)        # writable host copy
             moved, di = False, 0
             for over in heavy:

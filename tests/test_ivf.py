@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from fancyrec_tpu.serving.ivf import (
-    IVFIndex, balanced_assign, spherical_kmeans)
+    IVFIndex, _select_donors, balanced_assign, spherical_kmeans)
 
 
 def _clustered(n=4000, d=32, n_clusters=16, seed=0):
@@ -53,6 +53,53 @@ def test_kmeans_iters_zero_returns_init_centroids():
                                atol=1e-5)
     ivf = IVFIndex.build(x, nlist=8, iters=0, seed=1)   # end-to-end path
     assert ivf.packed_idx.shape[0] == 8
+
+
+def test_kmeanspp_init_covers_orthogonal_topics():
+    """Seeding is D^2 (k-means++/||), not uniform row draws: on tight
+    near-orthogonal topic blobs, coverage is decided at init (Lloyd has
+    no gradient across an orthogonal gap). With nlist == n_topics a
+    mass-proportional draw leaves ~1/e of the topics seedless (Poisson);
+    D^2 must seed essentially all of them. This is the 4M probe's
+    recall mechanism in miniature (tools/ivf_probe_rank.py: missed
+    neighbors all belonged to topics with zero aligned lists)."""
+    nc, per, d = 64, 32, 64
+    rng = np.random.RandomState(3)
+    centers = rng.randn(nc, d).astype(np.float32)
+    x = (centers[:, None, :]
+         + 0.5 * rng.randn(nc, per, d).astype(np.float32)
+         ).reshape(-1, d)
+    # iters=0 returns the seeds themselves
+    seeds = np.asarray(spherical_kmeans(x, nlist=nc, iters=0, seed=0))
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    covered = int(((seeds @ cn.T) > 0.6).any(axis=0).sum())
+    assert covered >= nc - 2, covered
+    # and a full build keeps every topic probeable at tiny nprobe
+    ivf = IVFIndex.build(x, nlist=nc, iters=6, seed=0)
+    cents = np.asarray(ivf.centroids)
+    assert int(((cents @ cn.T) > 0.6).any(axis=0).sum()) >= nc - 2
+
+
+def test_select_donors_redundancy_gate_and_protection():
+    """The refinement may only donate clusters whose members have a
+    close absorber, and never the absorber itself (nor a cluster whose
+    absorber already left) in the same round -- the rules that stop one
+    round from draining every list of a region (the 4M-measured
+    stranding spiral)."""
+    counts = np.array([10, 10, 10, 10, 200])
+    cap_target = 50.0          # light line at 45: lists 0-3 are light
+    maxcos = np.array([0.9, 0.9, 0.1, 0.8, 0.5])
+    sib = np.array([1, 0, 4, 0, 0])
+    donors = _select_donors(counts, cap_target, maxcos, sib)
+    # 0 donates and protects its absorber 1; 2 is sole coverage (below
+    # the redundancy floor); 3's absorber 0 already moved this round
+    assert donors == [0]
+
+    # mutual siblings: exactly one of the pair may leave per round
+    counts = np.array([5, 6, 300])
+    maxcos = np.array([0.95, 0.95, 0.2])
+    sib = np.array([1, 0, 0])
+    assert _select_donors(counts, 50.0, maxcos, sib) == [0]
 
 
 def test_balanced_assign_respects_capacity():
@@ -129,13 +176,17 @@ def test_int8_mode_close_to_f32():
 def test_batched_queries_and_k_padding():
     x = _clustered(n=300, d=16, n_clusters=4, seed=2)
     ivf = IVFIndex.build(x, nlist=64, cap=8, iters=3)
+    # a query reaches (nprobe + overflow_lists) * cap slots at most;
+    # ask for more so the tail must be -inf / -1 padding
+    probed = (2 + ivf.overflow_lists) * ivf.cap
+    k = probed + 8
     qs = np.random.RandomState(0).randn(3, 16).astype(np.float32)
-    vals, idxs = ivf.query(qs, k=40, nprobe=2)   # k > nprobe*cap = 16
-    assert vals.shape == (3, 40) and idxs.shape == (3, 40)
-    assert np.isneginf(vals[:, 16:]).all()
-    assert (idxs[:, 16:] == -1).all()
-    # 2 probed clusters hold ~9 of 300 posts (64 clusters x cap 8):
-    # at least a few real hits, never a fabricated id in the -inf tail
+    vals, idxs = ivf.query(qs, k=k, nprobe=2)
+    assert vals.shape == (3, k) and idxs.shape == (3, k)
+    assert np.isneginf(vals[:, probed:]).all()
+    assert (idxs[:, probed:] == -1).all()
+    # the probed clusters hold a handful of 300 posts: at least a few
+    # real hits, never a fabricated id in the -inf tail
     assert np.isfinite(vals[:, :3]).all()
     assert (idxs[np.isneginf(vals)] == -1).all()
 
