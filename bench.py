@@ -363,9 +363,11 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
     def probe_point(npb):
         """(latency, recall) at one nprobe over the shared build."""
         npb = min(npb, nlist)   # query() clamps; this path bypasses it
-        fn = ivf._jitted_query(1, k, npb)
+        mode = "bound" if ivf.radii is not None else "cosine"
+        fn = ivf._jitted_query(1, k, npb, mode)
         args = (q1, ivf.packed, ivf.packed_idx, ivf.centroids,
-                ivf.inv_norms)
+                ivf.inv_norms,
+                ivf.radii if mode == "bound" else None)
         drain(fn(*args))
         t0 = time.perf_counter()
         for _ in range(iters):

@@ -358,18 +358,40 @@ class IVFIndex:
       packed_idx  (same leading dims, cap) int32 original post index,
                   -1 = empty slot
 
-    query(q, k, nprobe): top-nprobe centroids by cosine plus every
-    overflow list, score only those lists' slots, exact top-k over the
-    probed subset. nprobe=nlist degrades gracefully to exact brute force
-    over the packed layout.
+    query(q, k, nprobe): top-nprobe lists plus every overflow list,
+    score only those lists' slots, exact top-k over the probed subset.
+    nprobe=nlist degrades gracefully to exact brute force over the
+    packed layout.
+
+    Probe SELECTION is radius-aware when `radii` is present (the
+    default for built indexes): lists are ranked by the triangle-
+    inequality upper bound on their best possible member score,
+    cos(max(theta_qc - r_list, 0)), where r_list is the p95 member
+    angle to the list centroid -- not by raw centroid cosine. Raw
+    cosine under-ranks exactly the lists that lose recall at scale:
+    the 4M-corpus diagnosis (tools/ivf_diag4m.py) attributed every
+    residual miss at nprobe 128 to true neighbors sitting in lists the
+    query ranked 154-400 -- wide lists (capacity-split or
+    topic-boundary) whose centroid is a poor proxy for their spread.
+    The bound promotes a list exactly in proportion to how far its
+    members can reach toward the query, so a wide list at moderate
+    centroid angle outranks a tight far one. Pure-cosine probing
+    remains available via query(..., probe="cosine") and for loaded
+    legacy sidecars without radii.npy.
     """
 
-    def __init__(self, centroids, packed, packed_idx, inv_norms=None):
+    def __init__(self, centroids, packed, packed_idx, inv_norms=None,
+                 radii=None):
         self.centroids = jnp.asarray(centroids)
         self.packed = jnp.asarray(packed)
         self.packed_idx = jnp.asarray(packed_idx, jnp.int32)
         self.inv_norms = (None if inv_norms is None
                           else jnp.asarray(inv_norms, jnp.float32))
+        # (nlist,) f32 angular radius per REAL list (overflow lists are
+        # always probed, they need no rank): p95 member angle to the
+        # centroid, radians. None = legacy cosine-ranked probing.
+        self.radii = (None if radii is None
+                      else jnp.asarray(radii, jnp.float32))
         n_lists, self.cap = self.packed_idx.shape
         self.nlist = int(self.centroids.shape[0])
         # lists past the centroid count are overflow: probed on EVERY
@@ -388,6 +410,57 @@ class IVFIndex:
         # build_ivf_sidecar's (a re-saved sidecar must not go stale).
         self.source_posts = None
         self._cache = {}
+
+    # ---------------------------------------------------------- radii --
+
+    def compute_radii(self, quantile: float = 0.95) -> None:
+        """Per-list member angular radius (radians) -> self.radii.
+
+        One jitted pass over the packed real lists: cos(member,
+        centroid) per slot (int8 packs recover the member direction
+        through the inv_norms sidecar, the exact contract the query
+        kernel scores with), arccos, then the `quantile` order
+        statistic of the valid members. p95 rather than max: the
+        radius prices how far the list's MASS reaches toward a query;
+        a single outlier member should not make the whole list look
+        wide. Empty lists get radius 0 (the probe bound degrades to
+        pure cosine ranking there).
+        """
+        nlist, cap = self.nlist, self.cap
+        int8 = self.packed.dtype == jnp.int8
+        qf = float(quantile)
+
+        @jax.jit
+        def run(packed, idx, cents, inv):
+            def per_list(c):
+                blk = jax.lax.dynamic_index_in_dim(packed, c, 0,
+                                                   keepdims=False)
+                ids = jax.lax.dynamic_index_in_dim(idx, c, 0,
+                                                   keepdims=False)
+                cent = cents[c]
+                if int8:
+                    pinv = jax.lax.dynamic_index_in_dim(inv, c, 0,
+                                                        keepdims=False)
+                    cos = (blk.astype(jnp.float32) @ cent) * pinv
+                else:
+                    cos = blk @ cent
+                valid = ids >= 0
+                ang = jnp.where(valid,
+                                jnp.arccos(jnp.clip(cos, -1.0, 1.0)),
+                                -jnp.inf)
+                m = jnp.sum(valid)
+                srt = -jnp.sort(-ang)          # descending, empties last
+                # descending index of the q-quantile: 0 = widest member
+                r = jnp.floor(
+                    (1.0 - qf) * jnp.maximum(m - 1, 0).astype(jnp.float32)
+                ).astype(jnp.int32)
+                val = srt[jnp.clip(r, 0, cap - 1)]
+                return jnp.where(m > 0, val, 0.0)
+
+            return jax.lax.map(per_list, jnp.arange(nlist))
+
+        self.radii = run(self.packed, self.packed_idx, self.centroids,
+                         self.inv_norms)
 
     # ---------------------------------------------------------- build --
 
@@ -444,6 +517,7 @@ class IVFIndex:
             inv = inv.reshape(n_lists, cap)
         out = cls(cents, packed.reshape(n_lists, cap, d), packed_idx, inv)
         out.spill_frac = spill_frac
+        out.compute_radii()
         return out
 
     @classmethod
@@ -551,12 +625,14 @@ class IVFIndex:
         out = cls(cents, packed.reshape(n_lists, cap, d),
                   packed_idx.reshape(n_lists, cap), inv)
         out.spill_frac = spill_frac
+        out.compute_radii()
         return out
 
     # ---------------------------------------------------------- query --
 
-    def _jitted_query(self, n_q: int, k: int, nprobe: int):
-        key = (n_q, k, nprobe)
+    def _jitted_query(self, n_q: int, k: int, nprobe: int,
+                      mode: str = "cosine"):
+        key = (n_q, k, nprobe, mode)
         fn = self._cache.get(key)
         if fn is not None:
             return fn
@@ -564,9 +640,20 @@ class IVFIndex:
         n_over = self.overflow_lists
         int8 = self.packed.dtype == jnp.int8
 
-        def one_query(q, packed, packed_idx, cents, inv):
-            cscore = cents @ q                              # (nlist,)
-            _, probe = jax.lax.top_k(cscore, nprobe)        # (nprobe,)
+        def one_query(q, packed, packed_idx, cents, inv, radii):
+            qn_ = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+            cscore = cents @ qn_                            # (nlist,)
+            if mode == "bound":
+                # rank by the reachability bound cos(max(theta - r, 0)):
+                # equivalently minimize max(theta - r, 0), theta in
+                # radians. Lists the query is INSIDE (theta <= r) all
+                # bound to 1.0 -- break those ties by centroid angle so
+                # tight well-aligned lists still come first.
+                theta = jnp.arccos(jnp.clip(cscore, -1.0, 1.0))
+                rank_key = -jnp.maximum(theta - radii, 0.0) - 1e-3 * theta
+                _, probe = jax.lax.top_k(rank_key, nprobe)  # (nprobe,)
+            else:
+                _, probe = jax.lax.top_k(cscore, nprobe)    # (nprobe,)
             if n_over:
                 # overflow lists hold build-time spill; probing them on
                 # every query keeps spilled posts exactly searchable
@@ -620,24 +707,39 @@ class IVFIndex:
             return vals, out_idx
 
         @jax.jit
-        def run(qs, packed, packed_idx, cents, inv):
+        def run(qs, packed, packed_idx, cents, inv, radii):
             return jax.lax.map(
-                lambda q: one_query(q, packed, packed_idx, cents, inv), qs)
+                lambda q: one_query(q, packed, packed_idx, cents, inv,
+                                    radii), qs)
 
         fn = run
         self._cache[key] = fn
         return fn
 
-    def query(self, query_embs: np.ndarray, k: int = 10, nprobe: int = 8
+    def query(self, query_embs: np.ndarray, k: int = 10, nprobe: int = 8,
+              probe: Optional[str] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (scores (Q, k), original post indices (Q, k)); slots past
         the probed posts carry -inf / -1. Queries run under lax.map so
-        device memory stays O(nprobe * cap * D) regardless of Q."""
+        device memory stays O(nprobe * cap * D) regardless of Q.
+
+        probe: "bound" (radius-aware reachability ranking, the default
+        whenever radii exist -- see the class docstring) or "cosine"
+        (raw centroid-cosine ranking, the only option for legacy
+        sidecars saved without radii.npy)."""
         qs = jnp.atleast_2d(jnp.asarray(query_embs, jnp.float32))
         nprobe = min(nprobe, self.nlist)
-        fn = self._jitted_query(qs.shape[0], k, nprobe)
+        mode = probe or ("bound" if self.radii is not None else "cosine")
+        if mode == "bound" and self.radii is None:
+            raise ValueError("probe='bound' needs radii; this index has "
+                             "none (legacy sidecar) -- compute_radii() "
+                             "or query with probe='cosine'")
+        if mode not in ("bound", "cosine"):
+            raise ValueError("probe must be 'bound' or 'cosine'")
+        fn = self._jitted_query(qs.shape[0], k, nprobe, mode)
         vals, idxs = fn(qs, self.packed, self.packed_idx, self.centroids,
-                        self.inv_norms)
+                        self.inv_norms,
+                        self.radii if mode == "bound" else None)
         return np.asarray(vals), np.asarray(idxs)
 
     # ------------------------------------------------------- save/load --
@@ -659,6 +761,9 @@ class IVFIndex:
         if self.inv_norms is not None:
             np.save(os.path.join(path, "inv_norms.npy"),
                     np.asarray(self.inv_norms))
+        if self.radii is not None:
+            np.save(os.path.join(path, "radii.npy"),
+                    np.asarray(self.radii))
         with open(os.path.join(path, "ivf_meta.json"), "w") as f:
             f.write(json.dumps(meta))
 
@@ -672,8 +777,11 @@ class IVFIndex:
         packed = packed.reshape(n_lists, meta["cap"], meta["dim"])
         inv_path = os.path.join(path, "inv_norms.npy")
         inv = np.load(inv_path) if os.path.exists(inv_path) else None
+        rad_path = os.path.join(path, "radii.npy")
+        rad = np.load(rad_path) if os.path.exists(rad_path) else None
         out = cls(np.load(os.path.join(path, "centroids.npy")), packed,
-                  np.load(os.path.join(path, "packed_idx.npy")), inv)
+                  np.load(os.path.join(path, "packed_idx.npy")), inv,
+                  radii=rad)
         out.spill_frac = meta.get("spill_frac")
         out.source_posts = meta.get("source_posts")
         return out
