@@ -677,150 +677,222 @@ def bench_preprocess(n_videos: int = 8, frames_per_video: int = 450,
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_all(out_path: str = "bench_full.json") -> dict:
-    """Run every sub-benchmark and write ONE machine-readable artifact so
-    per-round perf claims are auditable (committed per round next to
-    BENCH_r*.json). Keys mirror the individual subcommand metrics."""
+def _line(metric, value, unit, vs_baseline=None, **extra):
+    rec = {"metric": metric,
+           "value": (round(value, 2) if isinstance(value, float)
+                     else value),
+           "unit": unit, "vs_baseline": vs_baseline}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _get(results, name, *keys):
+    v = results.get(name)
+    for k in keys:
+        if not isinstance(v, dict):
+            return None
+        v = v.get(k)
+    if isinstance(v, dict) and "error" in v:
+        return None
+    return v
+
+
+def _bench_plan(artifact_path: str):
+    """Ordered (name, runner, emitter) triples shared by `bench.py` (the
+    driver's streaming end-of-round invocation) and `bench.py all`.
+
+    ORDER MATTERS: the driver parses the FIRST printed JSON line into
+    BENCH_r*.json and may kill the process on a timeout, so the headline
+    resnet number runs first and each metric's line prints the moment its
+    sub-bench completes (round 4 batched all the printing after the full
+    suite and the driver's timeout blanked the round's artifact --
+    VERDICT r4 #1). Cheap, high-signal benches lead; the slow multi-shape
+    compile benches (bucketed) and host-bound preprocess trail."""
+    def rr(d, nd=4):
+        return {k: round(v, nd) if isinstance(v, float) else v
+                for k, v in d.items()}
+
+    def emit_resnet(r):
+        fps = _get(r, "resnet152_fps")
+        _line("resnet152_feature_extraction_throughput", fps,
+              "frames/sec/chip",
+              vs_baseline=(round(fps / BASELINE_FPS, 4)
+                           if isinstance(fps, (int, float)) else None),
+              artifact=artifact_path)
+
+    def resident_emitter(key, metric, **flags):
+        def emit(r):
+            _line(metric, _get(r, key, "posts_per_sec"), "posts/sec/chip",
+                  tflops_per_sec=_get(r, key, "tflops_per_sec"),
+                  mfu_vs_bf16_peak=_get(r, key, "mfu_vs_bf16_peak"))
+        return emit
+
+    return [
+        ("resnet152_fps", lambda: round(bench_resnet152(), 1), emit_resnet),
+        ("train_step_posts_per_sec",
+         lambda: round(bench_train_step(), 1),
+         lambda r: _line("train_step_throughput_recipe_config",
+                         _get(r, "train_step_posts_per_sec"),
+                         "posts/sec/chip")),
+        ("train_step_b64_bf16_posts_per_sec",
+         lambda: round(bench_train_step(batch_size=64, dtype="bfloat16"), 1),
+         lambda r: _line("train_step_throughput_recipe_config_b64_bf16",
+                         _get(r, "train_step_b64_bf16_posts_per_sec"),
+                         "posts/sec/chip")),
+        ("train_resident",
+         lambda: rr(bench_train_resident()),
+         resident_emitter("train_resident",
+                          "train_step_throughput_device_resident")),
+        ("train_resident_b64_bf16",
+         lambda: rr(bench_train_resident(batch_size=64, dtype="bfloat16")),
+         resident_emitter("train_resident_b64_bf16",
+                          "train_step_throughput_device_resident_b64_bf16")),
+        ("train_resident_b256_bf16",
+         lambda: rr(bench_train_resident(n_super=2, batch_size=256,
+                                         dtype="bfloat16")),
+         resident_emitter("train_resident_b256_bf16",
+                          "train_step_throughput_device_resident_b256_bf16")),
+        ("train_resident_b1024_bf16",
+         lambda: rr(bench_train_resident(n_super=1, iters=8, batch_size=1024,
+                                         dtype="bfloat16")),
+         resident_emitter("train_resident_b1024_bf16",
+                          "train_step_throughput_device_resident_b1024_bf16")),
+        ("retrieval_1m_mposts_per_sec",
+         lambda: round(bench_retrieval() / 1e6, 2),
+         lambda r: _line("retrieval_topk_1m_posts",
+                         _get(r, "retrieval_1m_mposts_per_sec"),
+                         "Mposts/sec/chip")),
+        ("retrieval_1m_int8_mposts_per_sec",
+         lambda: round(bench_retrieval(quantize="int8") / 1e6, 2),
+         lambda r: _line("retrieval_topk_1m_posts_int8",
+                         _get(r, "retrieval_1m_int8_mposts_per_sec"),
+                         "Mposts/sec/chip")),
+        ("eval",
+         lambda: {k: round(v, 2) for k, v in bench_eval().items()},
+         lambda r: _line("eval_encode_throughput_recipe_config",
+                         _get(r, "eval", "encode_posts_per_sec"),
+                         "posts/sec/chip",
+                         metric_kernel_ms=_get(r, "eval",
+                                               "metric_kernel_ms"))),
+        ("ivf_single_query",
+         lambda: rr(bench_ivf()),
+         lambda r: _line("ivf_single_query_latency_1m_posts",
+                         _get(r, "ivf_single_query", "ivf_single_query_ms"),
+                         "ms",
+                         exact_single_query_ms=_get(
+                             r, "ivf_single_query", "exact_single_query_ms"),
+                         recall_at_10=_get(r, "ivf_single_query",
+                                           "recall_at_10"))),
+        ("serving_query_ms",
+         lambda: round(bench_serving()["query_latency_ms"], 1),
+         lambda r: _line("serving_query_latency_1m_posts",
+                         _get(r, "serving_query_ms"), "ms")),
+        ("serving_query_int8_ms",
+         lambda: round(bench_serving(quantize="int8")["query_latency_ms"], 1),
+         lambda r: _line("serving_query_latency_1m_posts_int8",
+                         _get(r, "serving_query_int8_ms"), "ms")),
+        ("serving_concurrent",
+         lambda: {k: (rr(v, 2) if isinstance(v, dict)
+                      else round(v, 3) if isinstance(v, float) else v)
+                  for k, v in bench_serving_concurrent().items()},
+         lambda r: _line("serving_concurrent_p99_8_clients",
+                         _get(r, "serving_concurrent", "coalesced", "p99_ms"),
+                         "ms",
+                         serial_lock_p99_ms=_get(r, "serving_concurrent",
+                                                 "serial_lock", "p99_ms"),
+                         p99_speedup=_get(r, "serving_concurrent",
+                                          "p99_speedup"))),
+        ("train_bucketed",
+         lambda: rr(bench_train_bucketed()),
+         lambda r: _line("train_step_throughput_bucketed_inscar_mix",
+                         _get(r, "train_bucketed", "bucketed_posts_per_sec"),
+                         "posts/sec/chip",
+                         speedup_vs_static_pad=_get(r, "train_bucketed",
+                                                    "speedup"))),
+        ("train_bucketed_b256_bf16_rbg",
+         lambda: rr(bench_train_bucketed(batch_size=256, dtype="bfloat16",
+                                         rng_impl="rbg")),
+         lambda r: _line("train_step_throughput_bucketed_b256_bf16_rbg",
+                         _get(r, "train_bucketed_b256_bf16_rbg",
+                              "bucketed_posts_per_sec"), "posts/sec/chip",
+                         speedup_vs_static_pad=_get(
+                             r, "train_bucketed_b256_bf16_rbg", "speedup"))),
+        ("preprocess_e2e",
+         # workers=1: decode threads lose on this 1-core host (README)
+         lambda: rr(bench_preprocess(n_videos=6, frames_per_video=300,
+                                     workers=1)),
+         lambda r: _line("preprocess_e2e_decoded_fps",
+                         _get(r, "preprocess_e2e", "e2e_decoded_fps"),
+                         "frames/sec",
+                         sampled_fps=_get(r, "preprocess_e2e",
+                                          "e2e_sampled_fps"),
+                         decode_only_fps=_get(r, "preprocess_e2e",
+                                              "decode_only_fps"),
+                         tpu_starved_frac=_get(r, "preprocess_e2e",
+                                               "tpu_starved_frac"),
+                         overlap_speedup=_get(r, "preprocess_e2e",
+                                              "overlap_speedup"))),
+    ]
+
+
+def bench_all(out_path: str = "bench_full.json", budget_s: float = None,
+              stream: bool = False) -> dict:
+    """Run the sub-benchmark suite and write ONE machine-readable artifact
+    so per-round perf claims are auditable (committed per round next to
+    BENCH_r*.json). Keys mirror the individual subcommand metrics.
+
+    stream=True (the driver's bare `python bench.py` path) prints each
+    metric's one-line JSON record the moment its sub-bench completes and
+    rewrites the artifact after every sub-bench, so a driver-side timeout
+    still leaves a parsed headline + a valid artifact prefix.
+    budget_s bounds total wall clock: sub-benches that have not STARTED
+    when the budget expires are recorded as {"skipped": "budget"} with a
+    stderr note (a running sub-bench is never interrupted)."""
     results = {}
-
-    def run(name, fn):
-        t0 = time.perf_counter()
-        try:
-            results[name] = fn()
-        except Exception as e:          # record, keep benching
-            results[name] = {"error": "%s: %s" % (type(e).__name__, e)}
-        print("[bench_all] %s done in %.1fs" % (name, time.perf_counter() - t0),
-              file=sys.stderr, flush=True)
-
-    run("resnet152_fps", lambda: round(bench_resnet152(), 1))
-    run("train_step_posts_per_sec", lambda: round(bench_train_step(), 1))
-    run("train_step_b64_bf16_posts_per_sec",
-        lambda: round(bench_train_step(batch_size=64, dtype="bfloat16"), 1))
-    run("train_resident", lambda: {
-        k: round(v, 4) for k, v in bench_train_resident().items()})
-    run("train_resident_b64_bf16", lambda: {
-        k: round(v, 4) for k, v in
-        bench_train_resident(batch_size=64, dtype="bfloat16").items()})
-    run("train_resident_b256_bf16", lambda: {
-        k: round(v, 4) for k, v in
-        bench_train_resident(n_super=2, batch_size=256,
-                             dtype="bfloat16").items()})
-    run("train_bucketed", lambda: {
-        k: round(v, 4) for k, v in bench_train_bucketed().items()})
-    run("train_bucketed_b256_bf16_rbg", lambda: {
-        k: round(v, 4) for k, v in bench_train_bucketed(
-            batch_size=256, dtype="bfloat16", rng_impl="rbg").items()})
-    run("retrieval_1m_mposts_per_sec",
-        lambda: round(bench_retrieval() / 1e6, 2))
-    run("retrieval_1m_int8_mposts_per_sec",
-        lambda: round(bench_retrieval(quantize="int8") / 1e6, 2))
-    run("eval", lambda: {k: round(v, 2) for k, v in bench_eval().items()})
-    run("preprocess_e2e", lambda: {
-        k: round(v, 4) if isinstance(v, float) else v
-        # workers=1: decode threads lose on this 1-core host (README)
-        for k, v in bench_preprocess(n_videos=6, frames_per_video=300,
-                                     workers=1).items()})
-    run("ivf_single_query", lambda: {
-        k: round(v, 4) if isinstance(v, float) else v
-        for k, v in bench_ivf().items()})
-    run("serving_query_ms", lambda: round(
-        bench_serving()["query_latency_ms"], 1))
-    run("serving_query_int8_ms", lambda: round(
-        bench_serving(quantize="int8")["query_latency_ms"], 1))
-    run("serving_concurrent", lambda: {
-        k: ({kk: round(vv, 2) for kk, vv in v.items()}
-            if isinstance(v, dict) else round(v, 3) if isinstance(v, float)
-            else v)
-        for k, v in bench_serving_concurrent().items()})
-
+    t_start = time.perf_counter()
+    skipped = []
     artifact = {
         "platform": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "results": results,
     }
-    with open(out_path, "w") as f:
-        f.write(json.dumps(artifact, indent=2) + "\n")
+
+    def write():
+        with open(out_path, "w") as f:
+            f.write(json.dumps(artifact, indent=2) + "\n")
+
+    for name, runner, emitter in _bench_plan(out_path):
+        elapsed = time.perf_counter() - t_start
+        # the headline (first) sub-bench always runs: a too-small budget
+        # must never reproduce round 4's empty artifact
+        if budget_s is not None and elapsed > budget_s and results:
+            results[name] = {"skipped": "budget"}
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        try:
+            results[name] = runner()
+        except Exception as e:          # record, keep benching
+            results[name] = {"error": "%s: %s" % (type(e).__name__, e)}
+        print("[bench_all] %s done in %.1fs (total %.0fs)"
+              % (name, time.perf_counter() - t0,
+                 time.perf_counter() - t_start),
+              file=sys.stderr, flush=True)
+        if stream:
+            emitter(results)
+            write()
+    if skipped:
+        print("[bench_all] budget %.0fs exhausted; skipped: %s"
+              % (budget_s, ", ".join(skipped)), file=sys.stderr, flush=True)
+    if stream:
+        _line("bench_suite_status",
+              len(results) - len(skipped), "sub-benches completed",
+              skipped=skipped,
+              budget_s=budget_s,
+              wall_s=round(time.perf_counter() - t_start, 1))
+    write()
     return artifact
-
-
-def _emit_round_lines(results: dict, artifact_path: str) -> None:
-    """Print the whole round's metrics as compact one-line JSON records,
-    resnet first (the driver parses the FIRST line into BENCH_r*.json;
-    the tail carries the rest of the round instead of one metric)."""
-    def line(metric, value, unit, vs_baseline=None, **extra):
-        rec = {"metric": metric,
-               "value": (round(value, 2) if isinstance(value, float)
-                         else value),
-               "unit": unit, "vs_baseline": vs_baseline}
-        rec.update(extra)
-        print(json.dumps(rec), flush=True)
-
-    def get(name, *keys):
-        v = results.get(name)
-        for k in keys:
-            if not isinstance(v, dict):
-                return None
-            v = v.get(k)
-        if isinstance(v, dict) and "error" in v:
-            return None
-        return v
-
-    fps = get("resnet152_fps")
-    line("resnet152_feature_extraction_throughput", fps, "frames/sec/chip",
-         vs_baseline=(round(fps / BASELINE_FPS, 4)
-                      if isinstance(fps, (int, float)) else None),
-         artifact=artifact_path)
-    line("train_step_throughput_recipe_config",
-         get("train_step_posts_per_sec"), "posts/sec/chip")
-    line("train_step_throughput_recipe_config_b64_bf16",
-         get("train_step_b64_bf16_posts_per_sec"), "posts/sec/chip")
-    line("train_step_throughput_device_resident",
-         get("train_resident", "posts_per_sec"), "posts/sec/chip",
-         tflops_per_sec=get("train_resident", "tflops_per_sec"))
-    line("train_step_throughput_device_resident_b64_bf16",
-         get("train_resident_b64_bf16", "posts_per_sec"), "posts/sec/chip",
-         tflops_per_sec=get("train_resident_b64_bf16", "tflops_per_sec"))
-    line("train_step_throughput_device_resident_b256_bf16",
-         get("train_resident_b256_bf16", "posts_per_sec"), "posts/sec/chip",
-         tflops_per_sec=get("train_resident_b256_bf16", "tflops_per_sec"),
-         mfu_vs_bf16_peak=get("train_resident_b256_bf16",
-                              "mfu_vs_bf16_peak"))
-    line("train_step_throughput_bucketed_inscar_mix",
-         get("train_bucketed", "bucketed_posts_per_sec"), "posts/sec/chip",
-         speedup_vs_static_pad=get("train_bucketed", "speedup"))
-    line("train_step_throughput_bucketed_b256_bf16_rbg",
-         get("train_bucketed_b256_bf16_rbg", "bucketed_posts_per_sec"),
-         "posts/sec/chip",
-         speedup_vs_static_pad=get("train_bucketed_b256_bf16_rbg",
-                                   "speedup"))
-    line("retrieval_topk_1m_posts",
-         get("retrieval_1m_mposts_per_sec"), "Mposts/sec/chip")
-    line("retrieval_topk_1m_posts_int8",
-         get("retrieval_1m_int8_mposts_per_sec"), "Mposts/sec/chip")
-    line("eval_encode_throughput_recipe_config",
-         get("eval", "encode_posts_per_sec"), "posts/sec/chip",
-         metric_kernel_ms=get("eval", "metric_kernel_ms"))
-    line("preprocess_e2e_decoded_fps",
-         get("preprocess_e2e", "e2e_decoded_fps"), "frames/sec",
-         sampled_fps=get("preprocess_e2e", "e2e_sampled_fps"),
-         decode_only_fps=get("preprocess_e2e", "decode_only_fps"),
-         tpu_starved_frac=get("preprocess_e2e", "tpu_starved_frac"),
-         overlap_speedup=get("preprocess_e2e", "overlap_speedup"))
-    line("ivf_single_query_latency_1m_posts",
-         get("ivf_single_query", "ivf_single_query_ms"), "ms",
-         exact_single_query_ms=get("ivf_single_query",
-                                   "exact_single_query_ms"),
-         recall_at_10=get("ivf_single_query", "recall_at_10"))
-    line("serving_query_latency_1m_posts",
-         get("serving_query_ms"), "ms")
-    line("serving_query_latency_1m_posts_int8",
-         get("serving_query_int8_ms"), "ms")
-    line("serving_concurrent_p99_8_clients",
-         get("serving_concurrent", "coalesced", "p99_ms"), "ms",
-         serial_lock_p99_ms=get("serving_concurrent", "serial_lock",
-                                "p99_ms"),
-         p99_speedup=get("serving_concurrent", "p99_speedup"))
 
 
 def main():
@@ -832,11 +904,18 @@ def main():
     else:
         mode = "resnet"   # bare digits keep meaning `resnet <batch>`
     if mode == "default":
-        # the driver's end-of-round invocation: run the whole suite (each
-        # sub-bench individually fenced -- one failure never blanks the
-        # round's artifact) and print every metric as its own JSON line
-        artifact = bench_all("bench_full.json")
-        _emit_round_lines(artifact["results"], "bench_full.json")
+        # the driver's end-of-round invocation: run the suite STREAMING --
+        # each sub-bench individually fenced (one failure never blanks the
+        # round's artifact), each metric's JSON line printed the moment its
+        # sub-bench completes (resnet first -- the driver parses the first
+        # line), artifact rewritten after every sub-bench, and a wall-clock
+        # budget after which un-started sub-benches are skipped with a note
+        # (round 4's batched printing + driver timeout = empty artifact)
+        # round 4's completed prefix alone took ~1300s and the driver's
+        # timeout killed the run; the budget only gates sub-bench STARTS,
+        # so leave headroom for the last-started one to finish
+        budget = float(os.environ.get("FANCYREC_BENCH_BUDGET_S", "1200"))
+        bench_all("bench_full.json", budget_s=budget, stream=True)
     elif mode == "resnet":
         batch = int(args[0]) if args else 128
         fps = bench_resnet152(batch_size=batch)

@@ -35,8 +35,16 @@ exported artifacts may be fixed-batch (concatenating request bodies
 would change the compiled shape), and encode bodies are MBs of frames
 where request parsing, not the device, dominates.
 
+Overload: every POST route passes an admission gate BEFORE parking its
+server thread behind the device lock -- past --max_pending concurrent
+device-bound requests, new arrivals get an immediate 429 + Retry-After
+(the coalescer bounds device calls, but without the gate a flood would
+still accumulate blocked ThreadingHTTPServer threads without bound).
+/metrics reports the live pending depth, peak, and total sheds.
+
 CLI: fancyrec-serve INDEX_DIR [--artifact DIR] [--port 8080]
                     [--quantize int8] [--default_nprobe 0]
+                    [--max_pending 64]
                     [--mesh_shape auto]   (shard the resident posts over
                     local devices for multi-chip serving)
 """
@@ -119,6 +127,58 @@ class _RouteStats:
                 routes[route] = entry
             return {"uptime_s": round(time.time() - self._started, 1),
                     "routes": routes}
+
+
+class Overloaded(RuntimeError):
+    """Raised by the admission gate when the pending-request depth is at
+    max_pending; the HTTP layer turns it into 429 + Retry-After."""
+
+    def __init__(self, depth: int, retry_after_s: int):
+        super().__init__("overloaded: %d requests pending" % depth)
+        self.depth = depth
+        self.retry_after_s = retry_after_s
+
+
+class _AdmissionGate:
+    """Bounded pending-queue for device-bound routes.
+
+    The coalescer bounds DEVICE CALLS, but every admitted request still
+    parks a ThreadingHTTPServer thread on the condition variable; a flood
+    would accumulate threads (and their parsed request bodies) without
+    bound. The gate sheds load instead: past max_pending concurrent
+    device-bound requests, new arrivals fail fast with 429 + Retry-After
+    -- in microseconds, without touching the coalescer or device lock --
+    so p99 for ADMITTED requests stays bounded by
+    max_pending x batch latency. /healthz and /metrics are never gated.
+    """
+
+    def __init__(self, max_pending: int = 64, retry_after_s: int = 1):
+        self._lock = threading.Lock()
+        self.max_pending = max_pending
+        self.retry_after_s = retry_after_s
+        self.depth = 0            # current pending/in-flight device work
+        self.peak_depth = 0
+        self.shed = 0             # total 429s issued
+
+    def enter(self) -> None:
+        with self._lock:
+            if self.depth >= self.max_pending:
+                self.shed += 1
+                raise Overloaded(self.depth, self.retry_after_s)
+            self.depth += 1
+            if self.depth > self.peak_depth:
+                self.peak_depth = self.depth
+
+    def exit(self) -> None:
+        with self._lock:
+            self.depth -= 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {"pending_depth": self.depth,
+                    "max_pending": self.max_pending,
+                    "peak_depth": self.peak_depth,
+                    "shed_total": self.shed}
 
 
 class _Request:
@@ -244,7 +304,7 @@ class FancyRecService:
     def __init__(self, index_dir: str, artifact_dir: Optional[str] = None,
                  quantize: str = "", default_nprobe: int = 0,
                  device_resident: bool = True, mesh=None,
-                 coalesce: bool = True):
+                 coalesce: bool = True, max_pending: int = 64):
         from fancyrec_tpu.serving.index import PostIndex
 
         self._lock = threading.Lock()          # serialize all device work
@@ -253,6 +313,7 @@ class FancyRecService:
         self._index_dir = index_dir
         self.default_nprobe = default_nprobe
         self.stats = _RouteStats()
+        self.gate = _AdmissionGate(max_pending=max_pending)
         # /v1/topk coalescing: index.query resolved at call time so tests
         # (and /v1/add refreshes) that rebind the index still take effect
         self._coalescer = _TopkCoalescer(
@@ -363,11 +424,13 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):   # quiet by default
         pass
 
-    def _reply(self, code: int, payload: dict):
+    def _reply(self, code: int, payload: dict, headers=()):
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for name, value in headers:
+            self.send_header(name, value)
         self.end_headers()
         self.wfile.write(body)
 
@@ -376,6 +439,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(200, self.service.healthz())
         if self.path == "/metrics":
             snap = self.service.stats.snapshot()
+            snap["overload"] = self.service.gate.snapshot()
             if self.service._coalescer is not None:
                 snap["topk_coalescing"] = self.service._coalescer.snapshot()
             return self._reply(200, snap)
@@ -394,7 +458,21 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(400, {"error": "bad request: %s" % e})
         t0 = time.monotonic()
         try:
-            payload = fn(self.service, body)
+            # admission gate: every POST route takes the device lock, so
+            # shed load BEFORE parking this thread behind it -- a flood
+            # past max_pending fails fast with 429 instead of
+            # accumulating blocked server threads (the 429 path never
+            # touches the coalescer or the device)
+            self.service.gate.enter()
+            try:
+                payload = fn(self.service, body)
+            finally:
+                self.service.gate.exit()
+        except Overloaded as e:
+            self.service.stats.record(self.path, time.monotonic() - t0, True)
+            return self._reply(
+                429, {"error": str(e), "pending": e.depth},
+                headers=[("Retry-After", str(e.retry_after_s))])
         except (ValueError, KeyError) as e:
             self.service.stats.record(self.path, time.monotonic() - t0, True)
             return self._reply(400, {"error": str(e)})
@@ -427,6 +505,9 @@ def main(argv=None):
     p.add_argument("--default_nprobe", type=int, default=0,
                    help=">0 routes /v1/topk through the IVF sidecar "
                         "unless the request overrides nprobe")
+    p.add_argument("--max_pending", type=int, default=64,
+                   help="max concurrent device-bound requests before new "
+                        "arrivals are shed with 429 + Retry-After")
     p.add_argument("--mesh_shape", default="",
                    help="'auto' = shard the device-resident posts over "
                         "all local devices for multi-chip serving; "
@@ -438,7 +519,8 @@ def main(argv=None):
         mesh = build_mesh("" if a.mesh_shape == "auto" else a.mesh_shape)
     service = FancyRecService(a.index_dir, artifact_dir=a.artifact or None,
                               quantize=a.quantize,
-                              default_nprobe=a.default_nprobe, mesh=mesh)
+                              default_nprobe=a.default_nprobe, mesh=mesh,
+                              max_pending=a.max_pending)
     server = make_server(service, a.host, a.port)
     print(json.dumps({"serving": "http://%s:%d" % server.server_address,
                       **service.healthz()}), flush=True)

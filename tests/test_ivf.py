@@ -411,3 +411,124 @@ def test_save_load_roundtrip(tmp_path):
     # flagged stale by PostIndex.ivf())
     back.save(str(tmp_path / "ivf2"))
     assert IVFIndex.load(str(tmp_path / "ivf2")).source_posts == 600
+
+
+# -- radius-aware probe ranking (VERDICT r4 #2 / ADVICE r4) --------------
+
+def _unit(theta_deg, d=8):
+    t = np.deg2rad(theta_deg)
+    v = np.zeros(d, np.float32)
+    v[0], v[1] = np.cos(t), np.sin(t)
+    return v
+
+
+def _wide_vs_tight_index():
+    """Hand-built geometry where centroid-cosine probing provably loses:
+    the query's true nearest neighbor sits on the FRINGE of one wide
+    list (members spread 5..80 deg, centroid ~42 deg away from the
+    query) while three tight lists (radius ~2 deg) park their centroids
+    closer to the query (20/25/30 deg) but hold no member nearer than
+    18 deg. Cosine ranks the tight centroids first and misses at
+    nprobe=1; the reachability bound max(theta - r, 0) ranks the wide
+    list first (42 - ~37 < 20 - 2). This is exactly the miss mode the
+    4M diagnosis attributed (tools/ivf_diag4m.py): fringe members of
+    wide topic-boundary lists."""
+    cap, d = 16, 8
+    lists, ids, next_id = [], [], 0
+
+    wide = np.stack([_unit(a, d) for a in range(5, 85, 5)])   # 16 members
+    lists.append(wide)
+    ids.append(np.arange(next_id, next_id + 16))
+    next_id += 16
+    for i in range(3):
+        c = -(20 + 5 * i)
+        mem = np.stack([_unit(c + (2 if j % 2 else -2), d)
+                        for j in range(8)])
+        lists.append(np.concatenate(
+            [mem, np.zeros((cap - 8, d), np.float32)]))
+        ids.append(np.concatenate(
+            [np.arange(next_id, next_id + 8), np.full(cap - 8, -1)]))
+        next_id += 8
+    # one empty list: compute_radii must give it radius 0, not nan
+    lists.append(np.zeros((cap, d), np.float32))
+    ids.append(np.full(cap, -1))
+
+    packed = np.stack(lists)
+    packed_idx = np.stack(ids).astype(np.int32)
+    cents = np.zeros((5, d), np.float32)
+    for i in range(4):
+        m = packed[i][packed_idx[i] >= 0]
+        cents[i] = m.mean(0) / np.linalg.norm(m.mean(0))
+    cents[4, 2] = 1.0                       # empty list: point elsewhere
+    ivf = IVFIndex(cents, packed, packed_idx)
+    ivf.compute_radii()
+    return ivf
+
+
+def test_compute_radii_values():
+    ivf = _wide_vs_tight_index()
+    radii = np.asarray(ivf.radii)
+    assert radii.shape == (5,)
+    # wide list: members 5..80 deg, centroid ~42.5 deg -> widest member
+    # ~37.5 deg from it (p95 of 16 members = the widest, index 0)
+    assert np.deg2rad(30) < radii[0] < np.deg2rad(45)
+    # tight lists: all members within 2 deg of the centroid
+    assert np.all(radii[1:4] < np.deg2rad(4))
+    assert radii[4] == 0.0                  # empty list, not nan
+
+
+def test_bound_probe_beats_cosine_on_wide_lists():
+    ivf = _wide_vs_tight_index()
+    q = _unit(0.0)                          # true NN: wide member at 5 deg
+    vb, ib = ivf.query(q, k=1, nprobe=1, probe="bound")
+    vc, ic = ivf.query(q, k=1, nprobe=1, probe="cosine")
+    assert ib[0, 0] == 0                    # bound probes the wide list
+    assert ic[0, 0] != 0                    # cosine probes a tight list
+    assert vb[0, 0] > vc[0, 0]              # and returns a worse neighbor
+    # with radii present, bound is the production default
+    vd, idx_d = ivf.query(q, k=1, nprobe=1)
+    np.testing.assert_array_equal(idx_d, ib)
+    # probing everything recovers exactness in both modes
+    for mode in ("bound", "cosine"):
+        _, i_all = ivf.query(q, k=1, nprobe=ivf.nlist, probe=mode)
+        assert i_all[0, 0] == 0
+
+
+def test_probe_mode_validation():
+    ivf = _wide_vs_tight_index()
+    with pytest.raises(ValueError, match="probe must be"):
+        ivf.query(_unit(0.0), k=1, nprobe=1, probe="euclid")
+    ivf.radii = None
+    with pytest.raises(ValueError, match="legacy sidecar"):
+        ivf.query(_unit(0.0), k=1, nprobe=1, probe="bound")
+
+
+def test_legacy_sidecar_without_radii_falls_back_to_cosine(tmp_path):
+    """A sidecar saved before radii existed (no radii.npy) must load and
+    query in cosine mode; compute_radii() upgrades it in place and a
+    re-save persists the radii."""
+    import os
+
+    x = _clustered(n=600, d=16, n_clusters=8)
+    ivf = IVFIndex.build(x, nlist=8, iters=4, quantize="int8")
+    assert ivf.radii is not None            # production builds carry radii
+    path = str(tmp_path / "ivf")
+    ivf.save(path)
+    os.remove(os.path.join(path, "radii.npy"))
+
+    legacy = IVFIndex.load(path)
+    assert legacy.radii is None
+    q = np.random.RandomState(3).randn(16).astype(np.float32)
+    v_leg, i_leg = legacy.query(q, k=5, nprobe=8)      # nprobe=nlist: exact
+    v_cos, i_cos = ivf.query(q, k=5, nprobe=8, probe="cosine")
+    np.testing.assert_array_equal(i_leg, i_cos)
+    with pytest.raises(ValueError, match="legacy sidecar"):
+        legacy.query(q, k=5, nprobe=2, probe="bound")
+
+    legacy.compute_radii()
+    np.testing.assert_allclose(np.asarray(legacy.radii),
+                               np.asarray(ivf.radii), atol=1e-5)
+    path2 = str(tmp_path / "ivf2")
+    legacy.save(path2)
+    assert os.path.exists(os.path.join(path2, "radii.npy"))
+    assert IVFIndex.load(path2).radii is not None

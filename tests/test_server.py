@@ -391,3 +391,126 @@ def test_service_without_artifact(tmp_path):
     assert service.healthz()["artifact_entries"] == []
     with pytest.raises(ValueError, match="no --artifact"):
         service.encode({})
+
+
+# -- overload shedding (VERDICT r4 #7) ----------------------------------
+
+def test_admission_gate_unit():
+    from fancyrec_tpu.serving.server import Overloaded, _AdmissionGate
+
+    gate = _AdmissionGate(max_pending=2, retry_after_s=3)
+    gate.enter()
+    gate.enter()
+    with pytest.raises(Overloaded) as ei:
+        gate.enter()
+    assert ei.value.retry_after_s == 3 and ei.value.depth == 2
+    snap = gate.snapshot()
+    assert snap == {"pending_depth": 2, "max_pending": 2,
+                    "peak_depth": 2, "shed_total": 1}
+    gate.exit()
+    gate.enter()                       # freed slot admits again
+    gate.exit()
+    gate.exit()
+    assert gate.snapshot()["pending_depth"] == 0
+    assert gate.snapshot()["peak_depth"] == 2
+
+
+def _req_full(port, method, path, body=None, timeout=60):
+    """Like _req but also returns the response headers."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    payload = json.dumps(body) if body is not None else None
+    conn.request(method, path, body=payload,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    headers = dict(resp.getheaders())
+    conn.close()
+    return resp.status, data, headers
+
+
+def test_overload_sheds_429_keeps_admitted_bounded(tmp_path):
+    """A burst far past max_pending: admitted requests all succeed, the
+    rest shed FAST with 429 + Retry-After (never parking a server thread
+    behind the device lock), /healthz and /metrics stay responsive, and
+    the pending-depth gauge tracks the gate."""
+    import time as _time
+
+    idx_dir = str(tmp_path / "index")
+    _toy_index(idx_dir, n_posts=20, dim=8, brand_num=3, seed=2)
+    service = FancyRecService(idx_dir, max_pending=4)
+
+    real_query = service.index.query
+    started, release = threading.Event(), threading.Event()
+
+    def blocked_query(ids, k=10, nprobe=0):
+        started.set()
+        assert release.wait(timeout=30), "test never released the device"
+        return real_query(ids, k=k, nprobe=nprobe)
+
+    service.index.query = blocked_query
+    server = make_server(service, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_port
+    body = {"brand_ids": [0, 1], "k": 3}
+
+    results, lock = [], threading.Lock()
+
+    def admitted_client():
+        out = _req_full(port, "POST", "/v1/topk", body)
+        with lock:
+            results.append(out)
+
+    try:
+        # 1 leader occupies the device; 3 more fill the gate to max_pending
+        clients = [threading.Thread(target=admitted_client)
+                   for _ in range(4)]
+        clients[0].start()
+        assert started.wait(timeout=30)
+        for c in clients[1:]:
+            c.start()
+        deadline = _time.monotonic() + 10
+        while service.gate.depth < 4:
+            assert _time.monotonic() < deadline, service.gate.snapshot()
+            _time.sleep(0.005)
+
+        # the flood: 20 more requests while the device is wedged -- every
+        # one must shed immediately (the whole flood completes in well
+        # under the blocked query's duration)
+        t0 = _time.monotonic()
+        sheds = [_req_full(port, "POST", "/v1/topk", body)
+                 for _ in range(20)]
+        flood_wall = _time.monotonic() - t0
+        assert all(s == 429 for s, _, _ in sheds)
+        assert flood_wall < 5.0, flood_wall
+        for _, data, headers in sheds:
+            assert int(headers["Retry-After"]) >= 1
+            assert "overloaded" in data["error"]
+
+        # un-gated routes stay responsive while the device is wedged
+        status, health, _ = _req_full(port, "GET", "/healthz")
+        assert status == 200 and health["ok"]
+        status, metrics, _ = _req_full(port, "GET", "/metrics")
+        assert status == 200
+        assert metrics["overload"]["pending_depth"] == 4
+        assert metrics["overload"]["shed_total"] == 20
+        assert metrics["overload"]["max_pending"] == 4
+
+        release.set()
+        for c in clients:
+            c.join(timeout=30)
+        # every ADMITTED request succeeded (the gate sheds, never breaks
+        # in-flight work); the coalescer served the 3 followers together
+        assert [s for s, _, _ in results] == [200] * 4
+        for _, data, _ in results:
+            assert len(data["results"]) == 2
+
+        status, metrics, _ = _req_full(port, "GET", "/metrics")
+        assert metrics["overload"]["pending_depth"] == 0
+        assert metrics["overload"]["peak_depth"] == 4
+        assert metrics["routes"]["/v1/topk"]["errors"] == 20
+        assert metrics["routes"]["/v1/topk"]["count"] == 24
+    finally:
+        release.set()
+        server.shutdown()
+        thread.join(timeout=10)

@@ -68,8 +68,9 @@ def main():
         q8buf, i = put_chunk(q8buf, gen(lo, lo + chunk), lo)
         inv_host[lo: lo + chunk] = np.asarray(i)
     qinv = jnp.asarray(inv_host)
-    queries = (centers[jax.random.randint(k4, (32,), 0, nc)]
-               + 0.5 * jax.random.normal(k4, (32, dim), jnp.float32))
+    k4a, k4b = jax.random.split(k4)   # distinct keys: center pick vs noise
+    queries = (centers[jax.random.randint(k4a, (32,), 0, nc)]
+               + 0.5 * jax.random.normal(k4b, (32, dim), jnp.float32))
     exact_fn = jax.jit(lambda q, p, i: retrieval_topk(
         q, p, k, block=4096, posts_inv=i))
     _, e_idx = exact_fn(queries, q8buf, qinv)
