@@ -652,11 +652,24 @@ def bench_preprocess(n_videos: int = 8, frames_per_video: int = 450,
         stats = {}
         t0 = time.perf_counter()
         n = extract_features(
-            V.iter_sampled_frames_parallel(root, brands, workers=workers),
+            V.iter_sampled_frames_parallel(root, brands, workers=workers,
+                                           backend="thread"),
             out_dir, batch_size=batch_size, extract_fn=extract_fn,
             stats=stats)
         wall = time.perf_counter() - t0
         assert n == sampled, (n, sampled)
+
+        # same videos through the spawn process-pool decode (the multi-core
+        # deploy-host path; on a 1-core box this mainly proves graceful
+        # degradation -- the A/B the deploy note cites)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        n_p = extract_features(
+            V.iter_sampled_frames_parallel(
+                root, brands, workers=max(workers, 2), backend="process"),
+            out_dir, batch_size=batch_size, extract_fn=extract_fn)
+        wall_procs = time.perf_counter() - t0
+        assert n_p == sampled, (n_p, sampled)
 
         serial_estimate = decode_s + stats["compute_s"] + stats["write_s"]
         return {
@@ -667,6 +680,8 @@ def bench_preprocess(n_videos: int = 8, frames_per_video: int = 450,
             "e2e_wall_s": wall,
             "e2e_decoded_fps": decoded / wall,
             "e2e_sampled_fps": sampled / wall,
+            "e2e_decoded_fps_procs": decoded / wall_procs,
+            "proc_pool_speedup": wall / wall_procs,
             "tpu_starved_frac": stats["wait_s"] / wall,
             "overlap_speedup": serial_estimate / wall,
             "extractor_ceiling_fps": (
@@ -831,7 +846,11 @@ def _bench_plan(artifact_path: str):
                          tpu_starved_frac=_get(r, "preprocess_e2e",
                                                "tpu_starved_frac"),
                          overlap_speedup=_get(r, "preprocess_e2e",
-                                              "overlap_speedup"))),
+                                              "overlap_speedup"),
+                         decoded_fps_procs=_get(r, "preprocess_e2e",
+                                                "e2e_decoded_fps_procs"),
+                         proc_pool_speedup=_get(r, "preprocess_e2e",
+                                                "proc_pool_speedup"))),
     ]
 
 

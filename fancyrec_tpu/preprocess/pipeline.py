@@ -75,7 +75,8 @@ def run(source_root: str, target_root: str, dataset_name: str = "insCar",
         feat_dim_name: str = "resnet152_dim_2048",
         img_feat_name: str = "imgfeat_dim_2048",
         params=None, batch_size: int = 128, vocab_threshold: int = 5,
-        brands=None, extract_fn=None, decode_workers: int = 1) -> Dict[str, str]:
+        brands=None, extract_fn=None, decode_workers: int = 1,
+        decode_backend: str = "process") -> Dict[str, str]:
     """Full pipeline: source scrape tree -> ready-to-train collection tree."""
     out_dir = os.path.join(target_root, dataset_name)
     os.makedirs(out_dir, exist_ok=True)
@@ -86,7 +87,8 @@ def run(source_root: str, target_root: str, dataset_name: str = "insCar",
     if not os.path.exists(os.path.join(video_feat_dir, "shape.txt")):
         if decode_workers > 1:
             stream = V.iter_sampled_frames_parallel(source_root, brands,
-                                                    workers=decode_workers)
+                                                    workers=decode_workers,
+                                                    backend=decode_backend)
         else:
             stream = V.iter_sampled_frames(source_root, brands)
         n = F.extract_features(stream, video_feat_dir, batch_size=batch_size,
@@ -149,12 +151,17 @@ def main():
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--vocab_threshold", type=int, default=5)
     p.add_argument("--decode_workers", type=int, default=1,
-                   help="parallel video decode threads (frame output order "
-                        "stays deterministic)")
+                   help="parallel video decode workers (frame output order "
+                        "stays deterministic; >1 pays on multi-core hosts)")
+    p.add_argument("--decode_backend", default="process",
+                   choices=("process", "thread"),
+                   help="decode worker pool kind: spawn processes (scale "
+                        "past the GIL on multi-core hosts) or threads")
     a = p.parse_args()
     out = run(a.source_root, a.target_root, a.dataset_name,
               batch_size=a.batch_size, vocab_threshold=a.vocab_threshold,
-              decode_workers=a.decode_workers)
+              decode_workers=a.decode_workers,
+              decode_backend=a.decode_backend)
     print(json.dumps(out, indent=2))
 
 

@@ -162,16 +162,28 @@ def test_extract_features_propagates_decode_exception(tmp_path):
                          batch_size=2, extract_fn=fake_extract)
 
 
-def test_parallel_decode_matches_serial(scrape_tree):
+@pytest.mark.parametrize("backend", ["thread", "process"])
+def test_parallel_decode_matches_serial(scrape_tree, backend):
     """iter_sampled_frames_parallel must yield the exact serial stream
-    (names and pixels) so BigFile id.txt ordering stays identical."""
+    (names and pixels) so BigFile id.txt ordering stays identical --
+    for BOTH worker pool kinds (spawned processes pickle frames back)."""
     brands = sorted(os.listdir(scrape_tree))
     serial = list(videos.iter_sampled_frames(scrape_tree, brands))
     par = list(videos.iter_sampled_frames_parallel(scrape_tree, brands,
-                                                   workers=3))
+                                                   workers=3,
+                                                   backend=backend))
     assert [n for n, _ in serial] == [n for n, _ in par]
     for (_, a), (_, b) in zip(serial, par):
         np.testing.assert_array_equal(a, b)
+
+
+def test_parallel_decode_workers1_is_serial(scrape_tree):
+    """workers=1 degrades to the serial path (no pool at all)."""
+    brands = sorted(os.listdir(scrape_tree))
+    serial = list(videos.iter_sampled_frames(scrape_tree, brands))
+    one = list(videos.iter_sampled_frames_parallel(scrape_tree, brands,
+                                                   workers=1))
+    assert [n for n, _ in serial] == [n for n, _ in one]
 
 
 def test_bench_preprocess_smoke(monkeypatch):
