@@ -360,10 +360,12 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
     _, e_idx = exact_fn(queries, q8, qinv)
     e_idx = np.asarray(e_idx)
 
-    def probe_point(npb):
-        """(latency, recall) at one nprobe over the shared build."""
+    def probe_point(npb, mode="cosine"):
+        """(latency, recall) at one nprobe over the shared build.
+        mode="cosine" is the production default (the 4M A/B pinned it,
+        serving/ivf.py class docstring); "bound" rides along in the
+        at-scale curve so the A/B stays auditable per run."""
         npb = min(npb, nlist)   # query() clamps; this path bypasses it
-        mode = "bound" if ivf.radii is not None else "cosine"
         fn = ivf._jitted_query(1, k, npb, mode)
         args = (q1, ivf.packed, ivf.packed_idx, ivf.centroids,
                 ivf.inv_norms,
@@ -374,7 +376,8 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
             out = fn(*args)
         drain(out)
         ms = (time.perf_counter() - t0) / iters * 1e3
-        _, i_idx = ivf.query(np.asarray(queries), k=k, nprobe=npb)
+        _, i_idx = ivf.query(np.asarray(queries), k=k, nprobe=npb,
+                             probe=mode)
         i_idx = np.asarray(i_idx)
         recall = np.mean([len(set(e_idx[i]) & set(i_idx[i])) / k
                           for i in range(len(e_idx))])
@@ -391,13 +394,19 @@ def bench_ivf(n_posts: int = 1_000_000, dim: int = 1024, k: int = 10,
               "spill_frac": getattr(ivf, "spill_frac", None),
               "speedup": exact_ms / ivf_ms, "recall_at_%d" % k: float(recall)}
     if n_posts > 1_000_000:
-        # at scale the interesting artifact is the recall/latency curve:
-        # a finer centroid grid needs more probes for the same recall
-        points = sorted({min(nprobe * m, nlist) for m in (2, 4, 8)}
-                        - {nprobe})
-        result["nprobe_curve"] = {
-            str(npb): dict(zip(("ms", "recall"), probe_point(npb)))
-            for npb in points}
+        # at scale the interesting artifact is the recall/latency curve
+        # (a finer centroid grid needs more probes for the same recall)
+        # with the cosine-vs-bound probe A/B riding along at each point
+        points = sorted({min(nprobe * m, nlist) for m in (1, 2, 4, 8)})
+        curve = {}
+        for npb in points:
+            ms, rec = probe_point(npb)
+            entry = {"ms": ms, "recall": rec}
+            if ivf.radii is not None:
+                ms_b, rec_b = probe_point(npb, mode="bound")
+                entry.update(ms_bound=ms_b, recall_bound=rec_b)
+            curve[str(npb)] = entry
+        result["nprobe_curve"] = curve
     return result
 
 
@@ -767,6 +776,11 @@ def _bench_plan(artifact_path: str):
                                          dtype="bfloat16")),
          resident_emitter("train_resident_b256_bf16",
                           "train_step_throughput_device_resident_b256_bf16")),
+        ("train_resident_b512_bf16",
+         lambda: rr(bench_train_resident(n_super=2, iters=8, batch_size=512,
+                                         dtype="bfloat16")),
+         resident_emitter("train_resident_b512_bf16",
+                          "train_step_throughput_device_resident_b512_bf16")),
         ("train_resident_b1024_bf16",
          lambda: rr(bench_train_resident(n_super=1, iters=8, batch_size=1024,
                                          dtype="bfloat16")),
@@ -851,6 +865,19 @@ def _bench_plan(artifact_path: str):
                                                 "e2e_decoded_fps_procs"),
                          proc_pool_speedup=_get(r, "preprocess_e2e",
                                                 "proc_pool_speedup"))),
+        # last by design: ~450 s chunked build + the dual-mode curve.
+        # Under the driver's streaming budget this gets skipped; a full
+        # `bench.py all` records the at-scale recall/latency curve with
+        # the cosine-vs-bound probe A/B (VERDICT r4 #2)
+        ("ivf_4m",
+         lambda: rr(bench_ivf(n_posts=4_000_000, nlist=3968)),
+         lambda r: _line("ivf_single_query_latency_4m_posts",
+                         _get(r, "ivf_4m", "ivf_single_query_ms"), "ms",
+                         exact_single_query_ms=_get(
+                             r, "ivf_4m", "exact_single_query_ms"),
+                         recall_at_10=_get(r, "ivf_4m", "recall_at_10"),
+                         spill_frac=_get(r, "ivf_4m", "spill_frac"),
+                         nprobe_curve=_get(r, "ivf_4m", "nprobe_curve"))),
     ]
 
 

@@ -363,21 +363,32 @@ class IVFIndex:
     nprobe=nlist degrades gracefully to exact brute force over the
     packed layout.
 
-    Probe SELECTION is radius-aware when `radii` is present (the
-    default for built indexes): lists are ranked by the triangle-
-    inequality upper bound on their best possible member score,
-    cos(max(theta_qc - r_list, 0)), where r_list is the p95 member
-    angle to the list centroid -- not by raw centroid cosine. Raw
-    cosine under-ranks exactly the lists that lose recall at scale:
-    the 4M-corpus diagnosis (tools/ivf_diag4m.py) attributed every
-    residual miss at nprobe 128 to true neighbors sitting in lists the
-    query ranked 154-400 -- wide lists (capacity-split or
-    topic-boundary) whose centroid is a poor proxy for their spread.
-    The bound promotes a list exactly in proportion to how far its
-    members can reach toward the query, so a wide list at moderate
-    centroid angle outranks a tight far one. Pure-cosine probing
-    remains available via query(..., probe="cosine") and for loaded
-    legacy sidecars without radii.npy.
+    Probe SELECTION defaults to raw centroid cosine. An alternative
+    radius-aware ranking is available as query(..., probe="bound")
+    whenever `radii` is present (built indexes always carry them):
+    lists rank by the triangle-inequality upper bound on their best
+    possible member score, cos(max(theta_qc - r_list, 0)), where
+    r_list is the p95 member angle to the list centroid. The bound
+    promotes a list in proportion to how far its members can reach
+    toward the query, the exact miss mode the 4M-corpus diagnosis
+    attributed (tools/ivf_diag4m.py: every residual nprobe-128 miss
+    sat in wide capacity-split / topic-boundary lists the query
+    cosine-ranked 154-400).
+
+    Why cosine stays the default -- the measured 4M A/B
+    (tools/ivf_bound4m.py, v5e-1, 4M x 1024 int8, nlist 3968,
+    2026-08-20): recall@10 cosine/bound = 0.731/0.713 @ nprobe 64,
+    0.816/0.819 @ 128, 0.919/0.922 @ 256, 0.975/0.991 @ 512; latency
+    @ 128 = 1.90/2.66 ms. At realistic-dimension scale the member
+    radii concentrate near orthogonality (p10..max spanned 85.8-86.7
+    deg on that corpus -- the high-d concentration of measure), so the
+    bound max(theta - r, 0) clamps to ~0 for most lists and adds
+    discrimination only deep in the probe tail: bound LOSES at nprobe
+    64, ties at 128-256, and only pays (+0.016 recall) at 512 -- while
+    costing 1.4x query latency (arccos + the extra rank arithmetic per
+    centroid). Use probe="bound" for recall-critical configs running
+    nprobe >= 256; the hand-built wide-vs-tight geometry where bound
+    provably wins at nprobe=1 lives in tests/test_ivf.py.
     """
 
     def __init__(self, centroids, packed, packed_idx, inv_norms=None,
@@ -723,13 +734,14 @@ class IVFIndex:
         the probed posts carry -inf / -1. Queries run under lax.map so
         device memory stays O(nprobe * cap * D) regardless of Q.
 
-        probe: "bound" (radius-aware reachability ranking, the default
-        whenever radii exist -- see the class docstring) or "cosine"
-        (raw centroid-cosine ranking, the only option for legacy
+        probe: "cosine" (raw centroid-cosine ranking, the measured
+        production default -- see the class docstring for the 4M A/B
+        that pinned it) or "bound" (radius-aware reachability ranking;
+        pays at nprobe >= 256, needs radii, so unavailable on legacy
         sidecars saved without radii.npy)."""
         qs = jnp.atleast_2d(jnp.asarray(query_embs, jnp.float32))
         nprobe = min(nprobe, self.nlist)
-        mode = probe or ("bound" if self.radii is not None else "cosine")
+        mode = probe or "cosine"
         if mode == "bound" and self.radii is None:
             raise ValueError("probe='bound' needs radii; this index has "
                              "none (legacy sidecar) -- compute_radii() "

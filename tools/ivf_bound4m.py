@@ -3,7 +3,7 @@
 Same corpus + build as tools/ivf_diag4m.py (1024 Gaussian topics,
 noise 0.5, int8 chunked build). One build, then recall@10 and
 single-query latency for probe="cosine" (legacy centroid ranking) vs
-probe="bound" (reachability ranking, the new default) at several
+probe="bound" (reachability ranking) at several
 nprobe points. The diag run attributed every nprobe-128 miss to true
 neighbors in lists the query ranked 154-400 by cosine; the bound
 promotes wide lists, which is exactly those.
