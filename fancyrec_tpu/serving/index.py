@@ -331,6 +331,11 @@ class PostIndex:
                     return None
                 from fancyrec_tpu.serving.ivf import IVFIndex
                 self._ivf = IVFIndex.load(ivf_dir)
+                if self.mesh is not None and self._shards > 1:
+                    # capacity mode: packed lists sharded over the mesh,
+                    # query results identical to single-device (the
+                    # probe set is replicated; see IVFIndex.shard_to_mesh)
+                    self._ivf.shard_to_mesh(self.mesh, self.mesh_axis)
         return self._ivf
 
     def _load_quantized(self):

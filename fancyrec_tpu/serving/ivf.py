@@ -420,6 +420,9 @@ class IVFIndex:
         # Part of save() so ANY save path stamps it, not just
         # build_ivf_sidecar's (a re-saved sidecar must not go stale).
         self.source_posts = None
+        # set by shard_to_mesh: packed lists sharded over mesh[mesh_axis]
+        self.mesh = None
+        self.mesh_axis = "data"
         self._cache = {}
 
     # ---------------------------------------------------------- radii --
@@ -639,6 +642,175 @@ class IVFIndex:
         out.compute_radii()
         return out
 
+    # ------------------------------------------------------- sharding --
+
+    def shard_to_mesh(self, mesh, axis: str = "data") -> "IVFIndex":
+        """Shard the packed lists over `mesh[axis]`: the capacity story.
+
+        The single-chip bound is HBM. int8 packed lists cost
+        (nlist + overflow) * cap * dim bytes: the measured 4M x 1024
+        build (nlist 3968, cap 1312 at the 1.3x overprovision) packs
+        ~5.3 GB, so ~10-11M posts brushes a v5e's 16 GB before compile
+        workspace -- the cap README documents. Sharding splits the LIST
+        axis contiguously over the mesh: each device holds n_lists/S
+        lists (the axis pads with empty lists to the shard multiple;
+        their slots carry id -1 and mask to -inf like any empty slot),
+        centroids/radii stay replicated (nlist x dim f32 = 16 MB at the
+        4M shape), and capacity scales linearly with S.
+
+        Query results are IDENTICAL to single-device: probe selection
+        runs replicated on every device (cheap centroid math over the
+        replicated centroids -> the same top-nprobe list set
+        everywhere), each device scans all probe slots but substitutes
+        a dummy local list for slots it does not own (masked to -inf;
+        the dummy DMA keeps shapes static), and an all-gather + top-k
+        merges per-shard candidates. Per-device scan latency therefore
+        stays at the single-chip figure -- this buys capacity, not
+        speed; the win is that a corpus S times past single-chip HBM
+        still serves at single-chip latency.
+        """
+        S = int(mesh.devices.shape[list(mesh.axis_names).index(axis)])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_lists = self.packed_idx.shape[0]
+        pad = (-n_lists) % S
+        if pad:
+            self.packed = jnp.concatenate(
+                [self.packed,
+                 jnp.zeros((pad,) + self.packed.shape[1:],
+                           self.packed.dtype)])
+            self.packed_idx = jnp.concatenate(
+                [self.packed_idx,
+                 jnp.full((pad, self.cap), -1, jnp.int32)])
+            if self.inv_norms is not None:
+                self.inv_norms = jnp.concatenate(
+                    [self.inv_norms,
+                     jnp.ones((pad, self.cap), jnp.float32)])
+        self.packed = jax.device_put(
+            self.packed, NamedSharding(mesh, P(axis, None, None)))
+        self.packed_idx = jax.device_put(
+            self.packed_idx, NamedSharding(mesh, P(axis, None)))
+        if self.inv_norms is not None:
+            self.inv_norms = jax.device_put(
+                self.inv_norms, NamedSharding(mesh, P(axis, None)))
+        rep = NamedSharding(mesh, P())
+        self.centroids = jax.device_put(self.centroids, rep)
+        if self.radii is not None:
+            self.radii = jax.device_put(self.radii, rep)
+        self.mesh, self.mesh_axis = mesh, axis
+        self._cache = {}
+        return self
+
+    def _jitted_query_sharded(self, n_q: int, k: int, nprobe: int,
+                              mode: str):
+        key = ("sharded", n_q, k, nprobe, mode)
+        fn = self._cache.get(key)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        mesh, axis = self.mesh, self.mesh_axis
+        cap, nlist = self.cap, self.nlist
+        n_over = self.overflow_lists
+        per = self.packed_idx.shape[0] // \
+            int(mesh.devices.shape[list(mesh.axis_names).index(axis)])
+        int8 = self.packed.dtype == jnp.int8
+        # per-shard candidate pool must cover the worst case (one shard
+        # owning EVERY probed list) or the merge could drop true top-k
+        kk = min(k, (nprobe + n_over) * cap)
+
+        def local(qs, packed_l, idx_l, cents, *opt):
+            opt = list(opt)
+            inv_l = opt.pop(0) if int8 else None
+            radii = opt.pop(0) if mode == "bound" else None
+            me = jax.lax.axis_index(axis)
+
+            def one_query(q):
+                # replicated probe selection: every device ranks the
+                # same (replicated) centroids -> identical probe set,
+                # so no collective is needed to agree on it
+                qn_ = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+                cscore = cents @ qn_
+                if mode == "bound":
+                    theta = jnp.arccos(jnp.clip(cscore, -1.0, 1.0))
+                    rank_key = (-jnp.maximum(theta - radii, 0.0)
+                                - 1e-3 * theta)
+                    _, probe = jax.lax.top_k(rank_key, nprobe)
+                else:
+                    _, probe = jax.lax.top_k(cscore, nprobe)
+                if n_over:
+                    probe = jnp.concatenate(
+                        [probe, jnp.arange(nlist, nlist + n_over,
+                                           dtype=probe.dtype)])
+                owner = probe // per
+                mine = owner == me
+                lidx = jnp.where(mine, probe % per, 0)
+                if int8:
+                    amax = jnp.max(jnp.abs(q))
+                    scale = jnp.where(amax > 0, 127.0 / amax, 0.0)
+                    q8 = jnp.clip(jnp.round(q * scale),
+                                  -127, 127).astype(jnp.int8)
+                    inv_q = jax.lax.rsqrt(jnp.maximum(
+                        jnp.sum(jnp.square(q8.astype(jnp.float32))), 1.0))
+                qn = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+
+                def body(_, cm):
+                    c, m = cm
+                    blk = jax.lax.dynamic_index_in_dim(packed_l, c, 0,
+                                                       keepdims=False)
+                    ids = jax.lax.dynamic_index_in_dim(idx_l, c, 0,
+                                                       keepdims=False)
+                    if int8:
+                        pinv = jax.lax.dynamic_index_in_dim(
+                            inv_l, c, 0, keepdims=False)
+                        acc = jax.lax.dot_general(
+                            blk, q8[:, None], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)[:, 0]
+                        s = acc.astype(jnp.float32) * inv_q * pinv
+                    else:
+                        s = blk @ qn
+                    # not-owned probe slots scanned a dummy local list:
+                    # void their ids so the scores mask to -inf
+                    ids = jnp.where(m, ids, -1)
+                    return None, (s, ids)
+
+                _, (scores, idxs) = jax.lax.scan(body, None, (lidx, mine))
+                s = scores.reshape(-1)
+                s = jnp.where(idxs.reshape(-1) < 0, -jnp.inf, s)
+                vals, local_top = jax.lax.top_k(s, kk)
+                out_idx = idxs.reshape(-1)[local_top]
+                # cross-shard merge (each post lives in exactly one
+                # list, so candidates never duplicate across shards)
+                av = jax.lax.all_gather(vals, axis).reshape(-1)
+                ai = jax.lax.all_gather(out_idx, axis).reshape(-1)
+                mvals, sel = jax.lax.top_k(av, min(k, av.shape[0]))
+                midx = ai[sel]
+                if k > mvals.shape[0]:
+                    padlen = k - mvals.shape[0]
+                    mvals = jnp.concatenate(
+                        [mvals, jnp.full(padlen, -jnp.inf, mvals.dtype)])
+                    midx = jnp.concatenate(
+                        [midx, jnp.full(padlen, -1, midx.dtype)])
+                return mvals, midx
+
+            vals, idxs = jax.lax.map(one_query, qs)
+            # emit on a size-1 sharded leading axis; the caller reads
+            # shard 0 (avoids a static replication proof in out_specs)
+            return vals[None], idxs[None]
+
+        in_specs = [P(), P(axis, None, None), P(axis, None), P()]
+        if int8:
+            in_specs.append(P(axis, None))
+        if mode == "bound":
+            in_specs.append(P())
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=tuple(in_specs),
+                               out_specs=(P(axis, None, None),
+                                          P(axis, None, None))))
+        self._cache[key] = fn
+        return fn
+
     # ---------------------------------------------------------- query --
 
     def _jitted_query(self, n_q: int, k: int, nprobe: int,
@@ -748,6 +920,15 @@ class IVFIndex:
                              "or query with probe='cosine'")
         if mode not in ("bound", "cosine"):
             raise ValueError("probe must be 'bound' or 'cosine'")
+        if self.mesh is not None:
+            fn = self._jitted_query_sharded(qs.shape[0], k, nprobe, mode)
+            args = [qs, self.packed, self.packed_idx, self.centroids]
+            if self.packed.dtype == jnp.int8:
+                args.append(self.inv_norms)
+            if mode == "bound":
+                args.append(self.radii)
+            vals, idxs = fn(*args)
+            return np.asarray(vals[0]), np.asarray(idxs[0])
         fn = self._jitted_query(qs.shape[0], k, nprobe, mode)
         vals, idxs = fn(qs, self.packed, self.packed_idx, self.centroids,
                         self.inv_norms,

@@ -533,3 +533,56 @@ def test_legacy_sidecar_without_radii_falls_back_to_cosine(tmp_path):
     legacy.save(path2)
     assert os.path.exists(os.path.join(path2, "radii.npy"))
     assert IVFIndex.load(path2).radii is not None
+
+
+def test_sharded_query_matches_single_device_exactly():
+    """Packed lists sharded over the 8-device mesh (shard_to_mesh) must
+    return EXACTLY the single-device ranking at every nprobe and in both
+    probe modes: the probe set is replicated (same centroid math on
+    every device), per-list scoring is identical arithmetic, and the
+    all-gather merge is lossless (each post lives in exactly one list).
+    This is the capacity-scaling mode for corpora past single-chip HBM;
+    list counts deliberately do NOT divide 8 so the pad path runs."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+
+    x = _clustered(n=1500, d=32, n_clusters=12, seed=5)
+    q = x[[3, 77, 512]] + 0.01
+    mesh = build_mesh("8,1")
+    for quant in ("int8", ""):
+        ivf = IVFIndex.build(x, nlist=10, iters=5, quantize=quant)
+        base = {npb: ivf.query(q, k=7, nprobe=npb) for npb in (2, 5, 10)}
+        base_bound = ivf.query(q, k=7, nprobe=3, probe="bound")
+
+        assert ivf.shard_to_mesh(mesh) is ivf
+        assert ivf.packed_idx.shape[0] % 8 == 0      # padded to multiple
+        for npb, (bv, bi) in base.items():
+            sv, si = ivf.query(q, k=7, nprobe=npb)
+            np.testing.assert_array_equal(si, bi)
+            np.testing.assert_allclose(sv, bv, rtol=0, atol=1e-6)
+        sv, si = ivf.query(q, k=7, nprobe=3, probe="bound")
+        np.testing.assert_array_equal(si, base_bound[1])
+        np.testing.assert_allclose(sv, base_bound[0], rtol=0, atol=1e-6)
+
+
+def test_sharded_query_k_past_pool_pads():
+    """k larger than the probed candidate pool pads with -inf/-1 in the
+    sharded kernel exactly like the single-device one."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+
+    x = _clustered(n=96, d=16, n_clusters=3, seed=7)
+    ivf = IVFIndex.build(x, nlist=3, iters=3)
+    k = int(ivf.cap) * (1 + ivf.overflow_lists) + 5   # past one probe's pool
+    bv, bi = ivf.query(x[:2], k=k, nprobe=1)
+    ivf.shard_to_mesh(build_mesh("8,1"))
+    sv, si = ivf.query(x[:2], k=k, nprobe=1)
+    np.testing.assert_array_equal(si, bi)
+    np.testing.assert_allclose(sv, bv, rtol=0, atol=1e-6)
+    assert np.isneginf(sv[:, -1]).all() and (si[:, -1] == -1).all()

@@ -454,3 +454,31 @@ def test_append_writes_gated_to_primary(tmp_path, monkeypatch):
     assert total == 22
     assert os.path.getsize(os.path.join(idx_dir, "feature.bin")) > \
         before["feature.bin"]
+
+
+def test_ivf_sharded_sidecar_matches_single_device(tmp_path):
+    """PostIndex with a mesh shards the IVF sidecar's packed lists over
+    the devices (IVFIndex.shard_to_mesh) and the ANN route returns
+    exactly the single-device ranking -- the capacity mode for indexes
+    past single-chip HBM."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+    from fancyrec_tpu.serving.index import build_ivf_sidecar
+
+    idx_dir = str(tmp_path / "toy")
+    _toy_index(idx_dir, n_posts=240, dim=16)
+    build_ivf_sidecar(idx_dir, nlist=6, iters=5)
+
+    single = PostIndex(idx_dir, device_resident=False)
+    sv, sn = single.query([0, 1, 2], k=5, nprobe=3)
+
+    sharded = PostIndex(idx_dir, device_resident=False,
+                        mesh=build_mesh("8,1"))
+    assert sharded.ivf().mesh is not None
+    mv, mn = sharded.query([0, 1, 2], k=5, nprobe=3)
+    assert mn == sn
+    np.testing.assert_allclose(mv, sv, rtol=0, atol=1e-6)
