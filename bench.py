@@ -84,7 +84,7 @@ def bench_train_step(iters: int = 10, batch_size: int = 0,
     return posts / dt
 
 
-def bench_train_resident(n_super: int = 8, iters: int = 4,
+def bench_train_resident(n_super: int = 0, iters: int = 4,
                          batch_size: int = 0, dtype: str = "",
                          rng_impl: str = "") -> dict:
     """Train-step throughput with data already resident in HBM: n_super
@@ -110,6 +110,10 @@ def bench_train_resident(n_super: int = 8, iters: int = 4,
     if rng_impl:
         cfg.rng_impl = rng_impl
     cfg = cfg.finalize()
+    if not n_super:
+        # keep ~512 posts staged regardless of batch: b1024 at the old
+        # n_super=8 default staged 2.1 GB of frames and OOM'd the v5e
+        n_super = max(1, 512 // (cfg.batch_size * cfg.accumulation_step))
     model, state = init_state(cfg)
     tx = make_optimizer(cfg)
     step = make_train_step(model, cfg, tx)
@@ -132,7 +136,18 @@ def bench_train_resident(n_super: int = 8, iters: int = 4,
     lowered = epoch.lower(state, stack)
     compiled = lowered.compile()
     cost = compiled.cost_analysis() or {}
-    flops_per_epoch = float(cost.get("flops", 0.0))
+    # XLA's cost_analysis counts a lax.scan body ONCE, not x trip count
+    # (measured on this jaxlib: flops identical for n_super 1/2/8 over
+    # the same body). The epoch nests two scans -- supers here and the
+    # accumulation-microbatch scan inside step -- so the raw figure is
+    # ~one microbatch's flops; scale by both trip counts. (The once-per-
+    # super optimizer update gets over-counted by accum, but it is
+    # elementwise -- <0.1% of a microbatch's matmul flops.) Rounds 1-4
+    # under-reported device-resident TFLOP/s and MFU by exactly this
+    # n_super*accum factor: the corrected b64 bf16 figure is ~35% MFU,
+    # not 4.2%.
+    flops_per_epoch = (float(cost.get("flops", 0.0))
+                       * n_super * cfg.accumulation_step)
 
     state, losses = epoch(state, stack)          # warm
     _ = np.asarray(losses)
@@ -776,16 +791,16 @@ def _bench_plan(artifact_path: str):
                                          dtype="bfloat16")),
          resident_emitter("train_resident_b256_bf16",
                           "train_step_throughput_device_resident_b256_bf16")),
+        # b512 is the measured knee of the batch curve (34/37/39% MFU at
+        # b64/b256/b512, 2026-08-20). No b1024 row: that step's
+        # activation footprint OOMs the v5e even with a single staged
+        # super-batch (bf16 1024x128x768 BERT temps) -- the curve's
+        # saturation statement lives in README "Performance".
         ("train_resident_b512_bf16",
          lambda: rr(bench_train_resident(n_super=2, iters=8, batch_size=512,
                                          dtype="bfloat16")),
          resident_emitter("train_resident_b512_bf16",
                           "train_step_throughput_device_resident_b512_bf16")),
-        ("train_resident_b1024_bf16",
-         lambda: rr(bench_train_resident(n_super=1, iters=8, batch_size=1024,
-                                         dtype="bfloat16")),
-         resident_emitter("train_resident_b1024_bf16",
-                          "train_step_throughput_device_resident_b1024_bf16")),
         ("retrieval_1m_mposts_per_sec",
          lambda: round(bench_retrieval() / 1e6, 2),
          lambda r: _line("retrieval_topk_1m_posts",
