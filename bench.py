@@ -976,7 +976,11 @@ def main():
         # timeout killed the run; the budget only gates sub-bench STARTS,
         # so leave headroom for the last-started one to finish
         budget = float(os.environ.get("FANCYREC_BENCH_BUDGET_S", "1200"))
-        bench_all("bench_full.json", budget_s=budget, stream=True)
+        # the streaming run writes its OWN artifact: it rewrites the file
+        # after every sub-bench, so a driver-side kill mid-suite must not
+        # leave the committed full-suite artifact (bench_full.json, from
+        # `bench.py all`) half-overwritten with {"skipped": ...} rows
+        bench_all("bench_stream.json", budget_s=budget, stream=True)
     elif mode == "resnet":
         batch = int(args[0]) if args else 128
         fps = bench_resnet152(batch_size=batch)
