@@ -86,7 +86,7 @@ def bench_train_step(iters: int = 10, batch_size: int = 0,
 
 def bench_train_resident(n_super: int = 0, iters: int = 4,
                          batch_size: int = 0, dtype: str = "",
-                         rng_impl: str = "") -> dict:
+                         rng_impl: str = "", remat: bool = False) -> dict:
     """Train-step throughput with data already resident in HBM: n_super
     recipe-scale super-batches are staged on device once, then a single
     jitted lax.scan consumes all of them per call (one dispatch -- no
@@ -109,6 +109,7 @@ def bench_train_resident(n_super: int = 0, iters: int = 4,
         cfg.dtype = dtype
     if rng_impl:
         cfg.rng_impl = rng_impl
+    cfg.bert_remat = remat
     cfg = cfg.finalize()
     if not n_super:
         # keep ~512 posts staged regardless of batch: b1024 at the old
@@ -1039,20 +1040,22 @@ def main():
             "vs_baseline": None,
         }))
     elif mode == "train_resident":
-        batch, dtype, rng_impl = 0, "", ""
+        batch, dtype, rng_impl, remat = 0, "", "", False
         for tok in args:
             if tok in ("bf16", "bfloat16"):
                 dtype = "bfloat16"
             elif tok == "rbg":
                 rng_impl = "rbg"
+            elif tok == "remat":
+                remat = True
             else:
                 batch = int(tok)
         r = bench_train_resident(batch_size=batch, dtype=dtype,
-                                 rng_impl=rng_impl)
+                                 rng_impl=rng_impl, remat=remat)
         print(json.dumps({
             "metric": "train_step_throughput_device_resident" + (
                 "_b%d" % batch if batch else "") + ("_bf16" if dtype else "")
-            + ("_rbg" if rng_impl else ""),
+            + ("_rbg" if rng_impl else "") + ("_remat" if remat else ""),
             "value": round(r["posts_per_sec"], 1), "unit": "posts/sec/chip",
             "vs_baseline": None,
             "tflops_per_sec": round(r["tflops_per_sec"], 2),

@@ -149,6 +149,152 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# fused int8 score + running top-k (Pallas TPU)
+# ---------------------------------------------------------------------------
+#
+# The int8 'matrix' strategy reads the (N, D) int8 index once (1 GB at
+# 1M x 1024) but ALSO round-trips the full (B, N) f32 score matrix
+# through HBM twice -- a 204 MB write from the matmul plus a 204 MB read
+# into lax.top_k -- so the measured 6.6 ms sits at ~215 GB/s effective,
+# far under the v5e's ~820 GB/s. This kernel fuses scoring and selection:
+# post blocks stream through VMEM, score on the MXU (int8 values are
+# exact in bf16 and every f32 partial sum stays an integer < 2^24 at
+# D=1024, so scores are bit-identical to the int8->int32 path), and a
+# (B, k) running top-k lives in VMEM scratch across the sequential grid
+# -- the score matrix never touches HBM. Selection is k unrolled
+# max/argmax passes over the (B, k_pad + block) candidate row: ~8 VPU ops
+# x k passes per element, which overlaps the HBM-bound index read.
+# Role: serving-time accelerator for the same query the reference runs
+# as a full torch score matrix + sort (evaluator.py:23-29,96).
+
+
+def _topk_fused_kernel(bp, block, kp, k, n_valid,
+                       brands_ref, posts_ref, inv_ref,
+                       vals_ref, idx_ref, run_vals, run_idx):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        run_vals[:] = jnp.full((bp, kp), -jnp.inf, jnp.float32)
+        run_idx[:] = jnp.zeros((bp, kp), jnp.int32)
+
+    bq = brands_ref[:].astype(jnp.bfloat16)            # int8 values: exact
+    pq = posts_ref[:].astype(jnp.bfloat16)
+    raw = jax.lax.dot_general(bq, pq, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    scores = raw * inv_ref[:]                          # (bp, block)*(1, block)
+    gids = (i * block
+            + jax.lax.broadcasted_iota(jnp.int32, (bp, block), 1))
+    scores = jnp.where(gids < n_valid, scores, -jnp.inf)
+
+    cand_v = jnp.concatenate([run_vals[:], scores], axis=1)
+    cand_i = jnp.concatenate([run_idx[:], gids], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, cand_v.shape, 1)
+    out_v, out_i = [], []
+    for _ in range(k):
+        m = jnp.max(cand_v, axis=1, keepdims=True)
+        hit = cand_v == m
+        # min col among the hits = lax.top_k's stable smaller-index
+        # tie-break (running entries sit at lower cols than this block's
+        # gids, and within the running list ties are already gid-ascending)
+        sel = jnp.min(jnp.where(hit, cols, jnp.int32(2 ** 30)),
+                      axis=1, keepdims=True)
+        one = cols == sel
+        out_v.append(m)
+        out_i.append(jnp.sum(jnp.where(one, cand_i, 0),
+                             axis=1, keepdims=True))
+        cand_v = jnp.where(one, -jnp.inf, cand_v)
+    new_v = jnp.concatenate(out_v, axis=1)
+    new_i = jnp.concatenate(out_i, axis=1)
+    if kp > k:
+        new_v = jnp.concatenate(
+            [new_v, jnp.full((bp, kp - k), -jnp.inf, jnp.float32)], axis=1)
+        new_i = jnp.concatenate(
+            [new_i, jnp.zeros((bp, kp - k), jnp.int32)], axis=1)
+    run_vals[:] = new_v
+    run_idx[:] = new_i
+    vals_ref[:] = new_v
+    idx_ref[:] = new_i
+
+
+def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
+                              posts_inv: jnp.ndarray, k: int,
+                              block: int = 2048, n_valid: Optional[int] = None,
+                              interpret: Optional[bool] = None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused int8 scoring + top-k: one HBM pass over the index, no
+    (B, N) score matrix. brands: (B, D) float (quantized here exactly as
+    the matrix path does); posts_q: (N, D) int8; posts_inv: (N,) f32.
+    n_valid: static true row count when the post axis is pre-padded.
+    Returns (values (B, k) f32, indices (B, k) int32), descending.
+
+    Scores match _int8_scores bitwise (integer-exact f32 accumulation,
+    see module comment); the returned values apply the positive per-row
+    brand scale after selection, so only f32 multiply ORDER differs from
+    the matrix path -- rankings agree except on exact cosine ties.
+    N must be a multiple of `block` or the index is padded (copies the
+    index -- pre-pad staged indexes instead). k <= 128.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if k > 128:
+        raise ValueError("fused top-k supports k <= 128")
+    b, d = brands.shape
+    n = posts_q.shape[0]
+    if n_valid is None:
+        n_valid = n
+    qb, b_inv = quantize_rows_int8(brands)
+    bp = _round_up(max(b, 32), 32)                 # int8 sublane tile
+    if bp != b:
+        qb = jnp.pad(qb, ((0, bp - b), (0, 0)))
+    np_ = _round_up(n, block)
+    if np_ != n:
+        posts_q = jnp.pad(posts_q, ((0, np_ - n), (0, 0)))
+        posts_inv = jnp.pad(posts_inv, (0, np_ - n))
+    nb = np_ // block
+    inv_rows = posts_inv.astype(jnp.float32).reshape(nb, block)
+    kp = 128
+    kernel = lambda *refs: _topk_fused_kernel(  # noqa: E731
+        bp, block, kp, k, n_valid, *refs)
+    vmem = (2 * block * d * 3          # int8 block double-buffered + bf16
+            + bp * d * 3               # brands int8 + bf16
+            + 4 * bp * (kp + block) * 6 + (4 << 20))
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bp, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, kp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bp, kp), jnp.float32),
+                        pltpu.VMEM((bp, kp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=max(vmem, 16 << 20)),
+        interpret=interpret,
+    )(qb, posts_q, inv_rows)
+    vals = vals[:b, :k] * b_inv[:, None]
+    idxs = idxs[:b, :k]
+    # k > n_valid filler rows: match the matrix path's -inf/0 padding
+    idxs = jnp.where(jnp.isneginf(vals), 0, idxs)
+    return vals, idxs
+
+
+# ---------------------------------------------------------------------------
 # streaming / distributed top-k
 # ---------------------------------------------------------------------------
 

@@ -8,7 +8,7 @@ import pytest
 from fancyrec_tpu.eval.metrics import cosine_sim_matrix
 from fancyrec_tpu.ops.similarity import (
     cosine_scores_pallas, distributed_retrieval_topk, quantize_rows_int8,
-    quantize_rows_int8_np, retrieval_topk)
+    quantize_rows_int8_np, retrieval_topk, retrieval_topk_fused_int8)
 
 
 def _case(seed, b=6, n=1000, d=64):
@@ -167,6 +167,64 @@ def test_int8_distributed_matches_single_device():
             np.testing.assert_allclose(np.asarray(vd), np.asarray(vs),
                                        atol=1e-5)
             np.testing.assert_array_equal(np.asarray(id_), np.asarray(is_))
+
+
+@pytest.mark.parametrize("n,block,n_valid", [
+    (1024, 128, None),      # exact block multiple
+    (1000, 128, None),      # pads the post axis
+    (1024, 128, 700),       # pre-padded index with a true row count
+])
+def test_fused_int8_topk_matches_matrix(n, block, n_valid):
+    """The fused Pallas score+top-k kernel (interpret mode on CPU) must
+    return the matrix strategy's exact indices -- scoring is
+    integer-exact in both (see ops/similarity.py module comment) -- and
+    values up to f32 multiply-order of the brand scale."""
+    brands, posts = _case(9, b=6, n=n, d=128)
+    qp, p_inv = quantize_rows_int8_np(posts)
+    nv = n_valid if n_valid is not None else n
+    vm, im = retrieval_topk(jnp.asarray(brands), jnp.asarray(qp[:nv]), 10,
+                            strategy="matrix",
+                            posts_inv=jnp.asarray(p_inv[:nv]))
+    vf, if_ = retrieval_topk_fused_int8(
+        jnp.asarray(brands), jnp.asarray(qp), jnp.asarray(p_inv), 10,
+        block=block, n_valid=n_valid)
+    np.testing.assert_array_equal(np.asarray(if_), np.asarray(im))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vm), rtol=1e-6)
+
+
+def test_fused_int8_topk_wide_brand_axis():
+    """B > 32 exercises the int8 sublane padding of the brand block (the
+    serving shape is 51 brands -> padded to 64)."""
+    brands, posts = _case(10, b=51, n=512, d=128)
+    qp, p_inv = quantize_rows_int8_np(posts)
+    vm, im = retrieval_topk(jnp.asarray(brands), jnp.asarray(qp), 5,
+                            strategy="matrix", posts_inv=jnp.asarray(p_inv))
+    vf, if_ = retrieval_topk_fused_int8(
+        jnp.asarray(brands), jnp.asarray(qp), jnp.asarray(p_inv), 5,
+        block=256)
+    np.testing.assert_array_equal(np.asarray(if_), np.asarray(im))
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vm), rtol=1e-6)
+
+
+def test_fused_int8_topk_edges():
+    """k > n_valid filler rows match the matrix path (-inf vals, idx 0);
+    all-zero rows (index append) score 0 and never outrank real posts."""
+    brands, posts = _case(11, b=4, n=256, d=128)
+    posts[3] = 0.0
+    qp, p_inv = quantize_rows_int8_np(posts)
+    v, i = retrieval_topk_fused_int8(
+        jnp.asarray(brands), jnp.asarray(qp), jnp.asarray(p_inv), 8,
+        block=128, n_valid=5)
+    v, i = np.asarray(v), np.asarray(i)
+    assert np.isneginf(v[:, 5:]).all() and (i[:, 5:] == 0).all()
+    assert np.isfinite(v[:, :5]).all()
+    assert (v[:, :5][i[:, :5] == 3] == 0).all()   # zero row scores exactly 0
+    vm, im = retrieval_topk(jnp.asarray(brands), jnp.asarray(qp[:5]), 8,
+                            strategy="matrix", posts_inv=jnp.asarray(p_inv[:5]))
+    np.testing.assert_array_equal(i, np.asarray(im))
+    with pytest.raises(ValueError):
+        retrieval_topk_fused_int8(jnp.asarray(brands), jnp.asarray(qp),
+                                  jnp.asarray(p_inv), k=129)
 
 
 def test_topk_k_exceeds_post_count():
