@@ -27,7 +27,13 @@ import numpy as np
 
 from fancyrec_tpu.io.bigfile import BigFileReader, BigFileWriter
 from fancyrec_tpu.ops.similarity import (
-    distributed_retrieval_topk, retrieval_topk)
+    distributed_retrieval_topk, retrieval_topk, retrieval_topk_fused_int8)
+
+# Post-axis block of the fused int8 score+top-k kernel (ops/similarity.py):
+# the staged index pads to this multiple so the padded copy happens ONCE at
+# load, never inside the per-query jit (an in-trace pad would copy the
+# whole index in HBM on every query).
+_FUSED_BLOCK = 2048
 
 
 def _encode_collection(ckpt, rootpath: str, collection: str,
@@ -262,10 +268,12 @@ class PostIndex:
     """
 
     def __init__(self, index_dir: str, device_resident: bool = True,
-                 mesh=None, mesh_axis: str = "data", quantize: str = ""):
+                 mesh=None, mesh_axis: str = "data", quantize: str = "",
+                 fused: "bool | None" = None):
         if quantize not in ("", "int8"):
             raise ValueError("quantize must be '' or 'int8'")
         self.quantize = quantize
+        self._fused_opt = fused
         self._index_dir = index_dir
         self.store = BigFileReader(index_dir, delimiter="\t")
         self.cap_ids = self.store.names
@@ -375,6 +383,21 @@ class PostIndex:
             pass
         return q, inv
 
+    def _fused_eligible(self) -> bool:
+        """The fused Pallas score+top-k path (ops/similarity.py): int8,
+        single-device, TPU (or forced for tests -- interpret mode runs it
+        anywhere), never under portable export lowering."""
+        if self.quantize != "int8" or self._shards != 1:
+            return False
+        if self._fused_opt is not None:
+            return bool(self._fused_opt)
+        from fancyrec_tpu.ops.dispatch import portable_mode
+        # MXU-lane-friendly embedding dim only (production is 1024);
+        # tiny test configs stay on the XLA matrix path
+        return (not portable_mode() and jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and self.store.ndims % 128 == 0)
+
     def posts(self) -> jnp.ndarray:
         if self._posts is None:
             inv = None
@@ -383,6 +406,8 @@ class PostIndex:
             else:
                 rows = self.store.read_rows(np.arange(self.n_posts))
             pad = (-self.n_posts) % self._shards
+            if self._fused_eligible():
+                pad = (-self.n_posts) % _FUSED_BLOCK
             if pad:
                 rows = np.concatenate(
                     [rows, np.zeros((pad, rows.shape[1]), rows.dtype)])
@@ -413,6 +438,13 @@ class PostIndex:
                         q, posts, k, mesh, axis=axis, block=block,
                         n_valid=n_valid, score_dtype=score_dtype,
                         posts_inv=inv)
+            elif (self._fused_eligible() and k <= 128
+                  and self.posts().shape[0] % _FUSED_BLOCK == 0):
+                nv = self.n_posts
+
+                def run(q, posts, inv):
+                    return retrieval_topk_fused_int8(
+                        q, posts, inv, k, block=_FUSED_BLOCK, n_valid=nv)
             else:
                 def run(q, posts, inv):
                     return retrieval_topk(q, posts, k, block=block,

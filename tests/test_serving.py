@@ -209,6 +209,38 @@ def test_quantized_index_matches_f32_ranking(tmp_path):
     assert sn == qn
 
 
+def test_fused_query_matches_matrix_path(tmp_path):
+    """fused=True routes int8 queries through the Pallas fused
+    score+top-k kernel (interpret mode off-TPU): the staged index pads to
+    the kernel block ONCE at load, results match the matrix path exactly,
+    and k > 128 falls back instead of failing."""
+    import jax.numpy as jnp
+    from fancyrec_tpu.serving import index as index_mod
+
+    idx_dir = str(tmp_path / "toy")
+    _separated_index(idx_dir)
+    q8 = PostIndex(idx_dir, quantize="int8")
+    qv, qn = q8.query([0, 1, 2, 3], k=8)
+
+    fused = PostIndex(idx_dir, quantize="int8", fused=True)
+    assert fused._fused_eligible()
+    staged = fused.posts()
+    assert staged.dtype == jnp.int8
+    assert staged.shape[0] == index_mod._FUSED_BLOCK    # 400 padded up
+    fv, fn = fused.query([0, 1, 2, 3], k=8)
+    assert fn == qn
+    np.testing.assert_allclose(fv, qv, rtol=1e-6)
+
+    # k > the fused kernel's 128 cap: the same instance serves via the
+    # padded-matrix fallback (pad rows masked by n_valid), filler None
+    bv, bn = fused.query([0], k=129)
+    mv, mn = q8.query([0], k=129)
+    assert bn == mn
+    np.testing.assert_allclose(
+        np.where(np.isfinite(bv), bv, 0), np.where(np.isfinite(mv), mv, 0),
+        atol=1e-6)
+
+
 def test_quantized_sidecar_cache(tmp_path, monkeypatch):
     """The on-disk int8 sidecar makes quantized reloads read 1 byte/elem:
     fresh instances load it without requantizing, appends extend it
