@@ -259,8 +259,11 @@ def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
     """Posts/sec through the streaming top-k retrieval (51-brand query).
     quantize='int8' pre-quantizes the index (per-row max-abs) and scores
     int8 x int8 -> int32 on the MXU: 4x less HBM on the memory-bound
-    query."""
-    from fancyrec_tpu.ops.similarity import quantize_rows_int8, retrieval_topk
+    query. quantize='int8_fused' adds the Pallas fused score+top-k kernel
+    (VMEM-resident selection -- the (B, N) score matrix never touches
+    HBM)."""
+    from fancyrec_tpu.ops.similarity import (
+        quantize_rows_int8, retrieval_topk, retrieval_topk_fused_int8)
 
     # generate on device: a (n_posts, dim) host->device transfer over the
     # tunneled chip would dominate the measurement
@@ -268,10 +271,17 @@ def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
     brands = jax.random.normal(key, (51, dim), jnp.float32)
     posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
     inv = None
-    if quantize == "int8":
+    if quantize.startswith("int8"):
         posts, inv = jax.jit(quantize_rows_int8)(posts)
-    f = jax.jit(lambda b, p, i: retrieval_topk(b, p, k, block=4096,
-                                               posts_inv=i))
+    if quantize == "int8_fused":
+        n_pad = n_posts - n_posts % 8192
+        posts, inv = posts[:n_pad], inv[:n_pad]   # pre-padded staging
+        n_posts = n_pad
+        f = jax.jit(lambda b, p, i: retrieval_topk_fused_int8(
+            b, p, i, k, block=8192))
+    else:
+        f = jax.jit(lambda b, p, i: retrieval_topk(b, p, k, block=4096,
+                                                   posts_inv=i))
     _ = np.asarray(f(brands, posts, inv)[0])  # compile + drain
     iters = 10
     t0 = time.perf_counter()
@@ -812,6 +822,11 @@ def _bench_plan(artifact_path: str):
          lambda r: _line("retrieval_topk_1m_posts_int8",
                          _get(r, "retrieval_1m_int8_mposts_per_sec"),
                          "Mposts/sec/chip")),
+        ("retrieval_1m_int8_fused_mposts_per_sec",
+         lambda: round(bench_retrieval(quantize="int8_fused") / 1e6, 2),
+         lambda r: _line("retrieval_topk_1m_posts_int8_fused",
+                         _get(r, "retrieval_1m_int8_fused_mposts_per_sec"),
+                         "Mposts/sec/chip")),
         ("eval",
          lambda: {k: round(v, 2) for k, v in bench_eval().items()},
          lambda r: _line("eval_encode_throughput_recipe_config",
@@ -1035,7 +1050,7 @@ def main():
         quant = args[0] if args else ""
         pps = bench_retrieval(quantize=quant)
         print(json.dumps({
-            "metric": "retrieval_topk_1m_posts" + ("_int8" if quant else ""),
+            "metric": "retrieval_topk_1m_posts" + ("_" + quant if quant else ""),
             "value": round(pps / 1e6, 2), "unit": "Mposts/sec/chip",
             "vs_baseline": None,
         }))

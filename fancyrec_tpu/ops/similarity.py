@@ -166,6 +166,19 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 # x k passes per element, which overlaps the HBM-bound index read.
 # Role: serving-time accelerator for the same query the reference runs
 # as a full torch score matrix + sort (evaluator.py:23-29,96).
+#
+# Measured (v5e-1, 51 brands x 999424 x 1024, k=10, 100-iter amortized,
+# same-session A/B): matrix int8 4.03-4.38 ms vs fused 2.74 (block 2048)
+# / 2.50 (4096) / 2.32 (8192) / 2.40 (16384) ms -- 1.76x at the 8192
+# knee, indices == matrix exactly, |dv| <= 1.5e-8 (f32 multiply order of
+# the brand scale). 2.32 ms over the 1 GB index = ~440 GB/s achieved;
+# the residual over the ~1.25 ms HBM floor is the selection VPU time
+# plus the in-VMEM int8->bf16 conversion pass. A direct int8 x int8 ->
+# int32 MXU dot (skipping the conversion) hung the remote Mosaic
+# compile on this toolchain -- bf16 is integer-exact here anyway, so it
+# stays. The Pallas block must obey the TPU tiling rule: the (nb, block)
+# inv sidecar is laid out (1, N) so its (1, block) window has
+# second-to-last dim == the full array's.
 
 
 def _topk_fused_kernel(bp, block, kp, k, n_valid,
@@ -219,7 +232,7 @@ def _topk_fused_kernel(bp, block, kp, k, n_valid,
 
 def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
                               posts_inv: jnp.ndarray, k: int,
-                              block: int = 2048, n_valid: Optional[int] = None,
+                              block: int = 8192, n_valid: Optional[int] = None,
                               interpret: Optional[bool] = None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused int8 scoring + top-k: one HBM pass over the index, no
@@ -252,7 +265,10 @@ def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
         posts_q = jnp.pad(posts_q, ((0, np_ - n), (0, 0)))
         posts_inv = jnp.pad(posts_inv, (0, np_ - n))
     nb = np_ // block
-    inv_rows = posts_inv.astype(jnp.float32).reshape(nb, block)
+    # (1, N) layout: a (1, block) window of it satisfies the TPU tiling
+    # rule (second-to-last dim equals the full array's), which (nb, block)
+    # with a (1, block) window does not
+    inv_rows = posts_inv.astype(jnp.float32).reshape(1, np_)
     kp = 128
     kernel = lambda *refs: _topk_fused_kernel(  # noqa: E731
         bp, block, kp, k, n_valid, *refs)
@@ -267,7 +283,7 @@ def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i: (i, 0),
+            pl.BlockSpec((1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

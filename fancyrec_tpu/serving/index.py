@@ -33,7 +33,7 @@ from fancyrec_tpu.ops.similarity import (
 # the staged index pads to this multiple so the padded copy happens ONCE at
 # load, never inside the per-query jit (an in-trace pad would copy the
 # whole index in HBM on every query).
-_FUSED_BLOCK = 2048
+_FUSED_BLOCK = 8192
 
 
 def _encode_collection(ckpt, rootpath: str, collection: str,
