@@ -283,7 +283,12 @@ def bench_retrieval(n_posts: int = 1_000_000, dim: int = 1024,
         f = jax.jit(lambda b, p, i: retrieval_topk(b, p, k, block=4096,
                                                    posts_inv=i))
     _ = np.asarray(f(brands, posts, inv)[0])  # compile + drain
-    iters = 10
+    # 100 iters: at 10 the tunnel's per-call dispatch floor dominated the
+    # few-ms kernels (6.8 ms/iter apparent vs 4.0 ms true device time for
+    # the same int8 program in a same-session A/B) -- the round-1..4
+    # retrieval rows carry that inflation; CLAUDE.md round-2 "dispatch
+    # floor"
+    iters = 100
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(brands, posts, inv)
@@ -460,12 +465,20 @@ def _synthetic_index_dir(tmp: str, n_posts: int, dim: int) -> str:
 def _swap_synthetic_posts(index, n_posts: int, dim: int, quantize: str):
     key = jax.random.PRNGKey(0)
     posts = jax.random.normal(key, (n_posts, dim), jnp.float32)
+    index.n_posts = n_posts
     if quantize == "int8":
         from fancyrec_tpu.ops.similarity import quantize_rows_int8
-        index._posts, index._posts_inv = jax.jit(quantize_rows_int8)(posts)
+        from fancyrec_tpu.serving.index import _FUSED_BLOCK
+        q, inv = jax.jit(quantize_rows_int8)(posts)
+        # pad the staged rows like PostIndex.posts() does, so the fused
+        # Pallas gate engages on TPU (pad rows masked via n_valid)
+        pad = (-n_posts) % _FUSED_BLOCK if index._fused_eligible() else 0
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+            inv = jnp.pad(inv, (0, pad))
+        index._posts, index._posts_inv = q, inv
     else:
         index._posts = posts
-    index.n_posts = n_posts
     index.cap_ids = ["p%d" % i for i in range(n_posts)]
 
 
