@@ -257,6 +257,7 @@ def test_train_e2e_bucketed(tmp_path):
     assert m.auc > 0.8
 
 
+@pytest.mark.slow   # 40 s: bucketed encode over the full 8-device mesh
 def test_encode_bucketed_under_mesh_matches_single_device():
     """Bucketed encode over an 8-device data mesh == single-device: the
     bucket slice happens before shard_batch, so each bucket shape shards

@@ -84,6 +84,7 @@ def test_train_mrl_loss_runs(root):
     assert best > 300, best
 
 
+@pytest.mark.slow   # 42 s: full two-CLI train->resume run
 def test_resume_from_checkpoint(root):
     logdir = os.path.join(root, "model", "run_bigru")
     best = trainer.main(COMMON_ARGS + [

@@ -133,6 +133,7 @@ def test_export_fixed_batch_and_bigru(tmp_path):
         loaded.embed_vis(batch)
 
 
+@pytest.mark.slow   # 31 s: serializes a cpu+tpu multi-platform artifact
 def test_export_multiplatform_lowering(tmp_path):
     """cpu+tpu multi-platform lowering must serialize from a CPU-only
     process (cross-platform deployment is the point of the artifact)."""

@@ -89,6 +89,7 @@ def test_pipeline_rejects_indivisible_layers():
                        jnp.zeros((4, 2, 8)), mesh=mesh, axis="model")
 
 
+@pytest.mark.slow   # 16 s: full BertEncoder fwd+grads, pipeline vs sequential
 def test_bert_pipeline_matches_sequential_encoder():
     """bert_pipeline_forward over the PRODUCTION BertEncoder param tree
     == BertEncoder.apply (deterministic), with real padding masks."""

@@ -6,6 +6,7 @@ names (layer1.0.conv1, downsample.0/1, ...), exercising the exact import
 path a real torchvision resnet152 checkpoint would take."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -102,6 +103,7 @@ def test_preprocess_matches_reference_transform():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow   # 18 s: compiles two full ResNet-152 stems
 def test_space_to_depth_stem_equivalent():
     """stem_s2d=True is numerically identical to the plain 7x7/s2 stem."""
     rng = np.random.RandomState(3)
