@@ -182,8 +182,17 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 
 
 def _topk_fused_kernel(bp, block, kp, k, n_valid,
-                       brands_ref, posts_ref, inv_ref,
-                       vals_ref, idx_ref, run_vals, run_idx):
+                       *refs):
+    if n_valid is None:
+        # dynamic variant: the valid-row count rides in SMEM (needed under
+        # shard_map, where the last shard's pad-row count is a traced
+        # value derived from axis_index)
+        nv_ref, brands_ref, posts_ref, inv_ref, \
+            vals_ref, idx_ref, run_vals, run_idx = refs
+        n_valid = nv_ref[0]
+    else:
+        brands_ref, posts_ref, inv_ref, \
+            vals_ref, idx_ref, run_vals, run_idx = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -247,6 +256,11 @@ def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
     the matrix path -- rankings agree except on exact cosine ties.
     N must be a multiple of `block` or the index is padded (copies the
     index -- pre-pad staged indexes instead). k <= 128.
+
+    n_valid may be a traced scalar (it then rides to the kernel in SMEM):
+    required under shard_map, where each shard's valid-row count is
+    derived from axis_index. A Python int keeps the original fully-static
+    kernel (the validated production single-device path).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -256,6 +270,7 @@ def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
     n = posts_q.shape[0]
     if n_valid is None:
         n_valid = n
+    dyn_nv = not isinstance(n_valid, (int, np.integer))
     qb, b_inv = quantize_rows_int8(brands)
     bp = _round_up(max(b, 32), 32)                 # int8 sublane tile
     if bp != b:
@@ -271,21 +286,26 @@ def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
     inv_rows = posts_inv.astype(jnp.float32).reshape(1, np_)
     kp = 128
     kernel = lambda *refs: _topk_fused_kernel(  # noqa: E731
-        bp, block, kp, k, n_valid, *refs)
+        bp, block, kp, k, None if dyn_nv else int(n_valid), *refs)
     vmem = (2 * block * d * 3          # int8 block double-buffered + bf16
             + bp * d * 3               # brands int8 + bf16
             + 4 * bp * (kp + block) * 6 + (4 << 20))
-    vals, idxs = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec((bp, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    args = [qb, posts_q, inv_rows]
+    if dyn_nv:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, jnp.asarray(n_valid, jnp.int32).reshape(1))
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bp, kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -302,7 +322,7 @@ def retrieval_topk_fused_int8(brands: jnp.ndarray, posts_q: jnp.ndarray,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=max(vmem, 16 << 20)),
         interpret=interpret,
-    )(qb, posts_q, inv_rows)
+    )(*args)
     vals = vals[:b, :k] * b_inv[:, None]
     idxs = idxs[:b, :k]
     # k > n_valid filler rows: match the matrix path's -inf/0 padding
@@ -451,20 +471,32 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
                                axis: str = "data", block: int = 4096,
                                n_valid: Optional[int] = None,
                                score_dtype: jnp.dtype = jnp.float32,
-                               posts_inv=None):
+                               posts_inv=None, fused: bool = False):
     """Sharded top-k: each device scans its post shard, then a cross-shard
     all-gather + final top-k merge. posts_sharded: (N, D) sharded on axis 0
     over `axis`; returns replicated (values, global indices). n_valid: true
     row count when the post axis was padded to a shard multiple -- pad rows
     are masked to -inf inside each shard's scan. int8 posts run the
     quantized int32-MXU scoring (posts_inv: the 1/||q|| sidecar, sharded
-    like the posts; per-shard on-the-fly if omitted)."""
+    like the posts; per-shard on-the-fly if omitted).
+
+    fused=True runs retrieval_topk_fused_int8 per shard (posts must be
+    int8 with posts_inv supplied, shard_size a multiple of `block`,
+    k <= 128): the same one-HBM-pass kernel the single-device path gates
+    onto, with the shard's valid-row count riding to the kernel as a
+    dynamic SMEM scalar (it depends on axis_index)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     n = posts_sharded.shape[0]
     n_shards = mesh.devices.shape[list(mesh.axis_names).index(axis)]
     shard_size = n // n_shards
+    if fused:
+        if posts_inv is None or posts_sharded.dtype != jnp.int8:
+            raise ValueError("fused=True needs an int8 index + posts_inv")
+        if shard_size % block:
+            raise ValueError("fused=True needs shard_size %% block == 0 "
+                             "(got %d %% %d)" % (shard_size, block))
 
     def local(brands_l, posts_l, *inv_l):
         shard_id = jax.lax.axis_index(axis)
@@ -472,10 +504,17 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
         if n_valid is not None:
             local_valid = jnp.clip(n_valid - shard_id * shard_size,
                                    0, shard_size)
-        vals, idxs = retrieval_topk(brands_l, posts_l, k, block=block,
-                                    pvary_axis=axis, n_valid=local_valid,
-                                    score_dtype=score_dtype,
-                                    posts_inv=inv_l[0] if inv_l else None)
+        if fused:
+            vals, idxs = retrieval_topk_fused_int8(
+                brands_l, posts_l, inv_l[0], k, block=block,
+                n_valid=(local_valid if local_valid is not None
+                         else shard_size))
+        else:
+            vals, idxs = retrieval_topk(
+                brands_l, posts_l, k, block=block,
+                pvary_axis=axis, n_valid=local_valid,
+                score_dtype=score_dtype,
+                posts_inv=inv_l[0] if inv_l else None)
         idxs = idxs + shard_id * shard_size
         # gather every shard's candidates and merge
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
@@ -492,9 +531,15 @@ def distributed_retrieval_topk(brands, posts_sharded, k: int, mesh,
     if posts_inv is not None:
         in_specs += (P(axis),)
         args += (posts_inv,)
+    # fused: vma checking off -- the Pallas kernel's interpret-mode
+    # lowering mixes invariant iota/scratch values with device-varying
+    # refs at every step, which jax>=0.9's per-primitive vma typing
+    # rejects (compiled Mosaic mode has no such notion). Correctness is
+    # pinned by the sharded-vs-single-device equality tests instead.
     fn = shard_map(
         local, mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(axis), P(axis)))
+        out_specs=(P(axis), P(axis)),
+        **({"check_vma": False} if fused else {}))
     vals, idxs = fn(*args)
     return vals[0], idxs[0]

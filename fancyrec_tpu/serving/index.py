@@ -384,19 +384,23 @@ class PostIndex:
         return q, inv
 
     def _fused_eligible(self) -> bool:
-        """The fused Pallas score+top-k path (ops/similarity.py): int8,
-        single-device, TPU (or forced for tests -- interpret mode runs it
-        anywhere), never under portable export lowering."""
-        if self.quantize != "int8" or self._shards != 1:
+        """The fused Pallas score+top-k path (ops/similarity.py): int8 on
+        TPU (or forced for tests -- interpret mode runs it anywhere),
+        never under portable export lowering. Engages both single-device
+        and mesh capacity mode (per-shard kernel under shard_map, shard
+        valid counts in SMEM)."""
+        if self.quantize != "int8":
             return False
         if self._fused_opt is not None:
             return bool(self._fused_opt)
         from fancyrec_tpu.ops.dispatch import portable_mode
+        if portable_mode() or jax.default_backend() != "tpu":
+            return False
         # MXU-lane-friendly embedding dim only (production is 1024);
         # tiny test configs stay on the XLA matrix path
-        return (not portable_mode() and jax.default_backend() == "tpu"
-                and jax.device_count() == 1
-                and self.store.ndims % 128 == 0)
+        if self.store.ndims % 128:
+            return False
+        return self._shards > 1 or jax.device_count() == 1
 
     def posts(self) -> jnp.ndarray:
         if self._posts is None:
@@ -407,7 +411,9 @@ class PostIndex:
                 rows = self.store.read_rows(np.arange(self.n_posts))
             pad = (-self.n_posts) % self._shards
             if self._fused_eligible():
-                pad = (-self.n_posts) % _FUSED_BLOCK
+                # each of the _shards equal slices must itself be a
+                # multiple of the kernel block
+                pad = (-self.n_posts) % (_FUSED_BLOCK * self._shards)
             if pad:
                 rows = np.concatenate(
                     [rows, np.zeros((pad, rows.shape[1]), rows.dtype)])
@@ -432,12 +438,17 @@ class PostIndex:
         if fn is None:
             if self.mesh is not None and self._shards > 1:
                 mesh, axis, n_valid = self.mesh, self.mesh_axis, self.n_posts
+                use_fused = (
+                    self._fused_eligible() and k <= 128
+                    and self.posts().shape[0]
+                    % (_FUSED_BLOCK * self._shards) == 0)
+                dblock = _FUSED_BLOCK if use_fused else block
 
                 def run(q, posts, inv):
                     return distributed_retrieval_topk(
-                        q, posts, k, mesh, axis=axis, block=block,
+                        q, posts, k, mesh, axis=axis, block=dblock,
                         n_valid=n_valid, score_dtype=score_dtype,
-                        posts_inv=inv)
+                        posts_inv=inv, fused=use_fused)
             elif (self._fused_eligible() and k <= 128
                   and self.posts().shape[0] % _FUSED_BLOCK == 0):
                 nv = self.n_posts

@@ -241,6 +241,37 @@ def test_fused_query_matches_matrix_path(tmp_path):
         atol=1e-6)
 
 
+@pytest.mark.slow   # 8-device interpret-mode kernel over 64k staged rows
+def test_fused_sharded_query_matches_single_device(tmp_path):
+    """mesh + quantize=int8 + fused=True: capacity mode runs the fused
+    Pallas kernel per shard (dynamic SMEM valid counts; staging pads each
+    shard's slice to the kernel block) and must reproduce the
+    single-device int8 matrix results."""
+    import jax
+    import jax.numpy as jnp
+    from fancyrec_tpu.serving import index as index_mod
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+
+    idx_dir = str(tmp_path / "toy")
+    _separated_index(idx_dir)
+    q8 = PostIndex(idx_dir, quantize="int8")
+    qv, qn = q8.query([0, 1, 2, 3], k=8)
+
+    mesh = build_mesh("8,1")
+    sf = PostIndex(idx_dir, mesh=mesh, quantize="int8", fused=True)
+    assert sf._fused_eligible()
+    staged = sf.posts()
+    assert staged.dtype == jnp.int8
+    # 400 rows pad so each of the 8 shards is one full kernel block
+    assert staged.shape[0] == index_mod._FUSED_BLOCK * 8
+    fv, fn = sf.query([0, 1, 2, 3], k=8)
+    assert fn == qn
+    np.testing.assert_allclose(fv, qv, rtol=1e-6)
+
+
 def test_quantized_sidecar_cache(tmp_path, monkeypatch):
     """The on-disk int8 sidecar makes quantized reloads read 1 byte/elem:
     fresh instances load it without requantizing, appends extend it

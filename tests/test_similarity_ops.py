@@ -227,6 +227,59 @@ def test_fused_int8_topk_edges():
                                   jnp.asarray(p_inv), k=129)
 
 
+def test_fused_int8_topk_dynamic_n_valid():
+    """n_valid as a traced scalar (the shard_map case: each shard's
+    valid-row count derives from axis_index) rides to the kernel in SMEM
+    and must match the static-n_valid kernel exactly."""
+    brands, posts = _case(12, b=6, n=1024, d=128)
+    qp, p_inv = quantize_rows_int8_np(posts)
+    vs, is_ = retrieval_topk_fused_int8(
+        jnp.asarray(brands), jnp.asarray(qp), jnp.asarray(p_inv), 10,
+        block=128, n_valid=700)
+    fn = jax.jit(lambda b, q, i, nv: retrieval_topk_fused_int8(
+        b, q, i, 10, block=128, n_valid=nv))
+    vd, id_ = fn(jnp.asarray(brands), jnp.asarray(qp),
+                 jnp.asarray(p_inv), jnp.int32(700))
+    np.testing.assert_array_equal(np.asarray(id_), np.asarray(is_))
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vs), rtol=1e-6)
+
+
+def test_fused_distributed_matches_single_device():
+    """distributed_retrieval_topk(fused=True): the fused kernel runs per
+    shard under shard_map with the shard's valid count as a dynamic SMEM
+    scalar; the merged result must equal the single-device fused kernel
+    (the 512-row pad tail lands entirely in the last shard)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fancyrec_tpu.parallel.mesh import build_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    brands, posts = _case(13, b=6, n=4096, d=128)
+    n_valid = 3584                       # last shard (rows 3584:4096) all pad
+    qp, p_inv = quantize_rows_int8_np(posts)
+    vs, is_ = retrieval_topk_fused_int8(
+        jnp.asarray(brands), jnp.asarray(qp), jnp.asarray(p_inv), 8,
+        block=128, n_valid=n_valid)
+    mesh = build_mesh("8,1")
+    with mesh:
+        qp_sh = jax.device_put(qp, NamedSharding(mesh, P("data", None)))
+        inv_sh = jax.device_put(p_inv, NamedSharding(mesh, P("data")))
+        vd, id_ = distributed_retrieval_topk(
+            jnp.asarray(brands), qp_sh, k=8, mesh=mesh, block=128,
+            n_valid=n_valid, posts_inv=inv_sh, fused=True)
+    np.testing.assert_array_equal(np.asarray(id_), np.asarray(is_))
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vs), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="int8"):
+        distributed_retrieval_topk(jnp.asarray(brands),
+                                   jnp.asarray(posts), k=8, mesh=mesh,
+                                   block=128, fused=True)
+    with pytest.raises(ValueError, match="shard_size"):
+        distributed_retrieval_topk(jnp.asarray(brands), qp_sh, k=8,
+                                   mesh=mesh, block=384, posts_inv=inv_sh,
+                                   fused=True)
+
+
 def test_topk_k_exceeds_post_count():
     """k > N must return -inf/0 filler rows (like the scan carry), not
     crash -- 'auto' picks the matrix path exactly for small indexes."""
