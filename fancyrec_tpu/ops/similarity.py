@@ -155,7 +155,7 @@ def cosine_scores_pallas(brands: jnp.ndarray, posts: jnp.ndarray,
 # The int8 'matrix' strategy reads the (N, D) int8 index once (1 GB at
 # 1M x 1024) but ALSO round-trips the full (B, N) f32 score matrix
 # through HBM twice -- a 204 MB write from the matmul plus a 204 MB read
-# into lax.top_k -- so the measured 6.6 ms sits at ~215 GB/s effective,
+# into lax.top_k -- so the measured 4.0 ms sits at ~350 GB/s effective,
 # far under the v5e's ~820 GB/s. This kernel fuses scoring and selection:
 # post blocks stream through VMEM, score on the MXU (int8 values are
 # exact in bf16 and every f32 partial sum stays an integer < 2^24 at
